@@ -1,0 +1,270 @@
+"""Wave-batched distributed BFS crawl engine.
+
+One Spark job per *depth level* (wave) instead of the reference's one
+node per cycle — the throughput mode of SURVEY §7. The sequential
+reference order is still reproduced **exactly**: BFS over a FIFO queue
+is level-synchronized, so the k-th pop of the reference equals the k-th
+row of this engine's frontier log when new nodes are ordered by their
+first-enqueue key ``(parent_seq, edge_rank, endpoint_slot)`` — parent
+pop order × canonical scan order of the parent's transfers × (from,to)
+push order (reference bfs.py:27-29).
+
+Per wave:
+
+1. **expand** — one equi-join of the endpoint-exploded edge view against
+   the (broadcast) frontier; Catalyst pushes the depth guard and prunes
+   columns into the parquet scan.
+2. **emit** — transfers dedup'd by id vs all previously emitted
+   (left_anti; reference pipelines/subgraph.py:9-27).
+3. **schedule** — explode (from,to) children, anti-join the seen set
+   (J7), keep min first-enqueue key per node, assign dense ``seq``.
+4. **fetch** — join the images payload table, repartition by
+   ``host_bucket`` (hot hosts salted), run the Arrow-batched fetch
+   kernel (decode + PSNR/caption invariants + token-bucket pacing).
+5. **checkpoint** — frontier/seen/lineage parquet snapshot per wave;
+   ``resume()`` restarts mid-crawl from any wave.
+
+Scale design (100 TB / 10^10-URL frontier):
+
+* the only per-wave shuffles are the expand join (avoidable by
+  bucketing edges on ``endpoint``), the per-parent rank window, and the
+  seen anti-join (hash-partitioned by fingerprint; Bloom pre-filter cuts
+  the probe side before the exact join);
+* the frontier is broadcast only while small (``broadcast_frontier``),
+  else it joins shuffle-side with AQE skew split;
+* ``seq`` assignment sorts only the *new* nodes of one wave (≪ total).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.functions.fingerprint import node_fingerprint
+from blockchainspider_spark.functions.payload import FETCH_RESULT_SCHEMA, make_fetch_kernel
+from blockchainspider_spark.operators.transfers import CANONICAL_ORDER_COLS, endpoint_exploded
+
+FRONTIER_SCHEMA = "node string, depth int, seq long, wave int"
+
+
+@dataclass
+class CrawlState:
+    wave: int
+    frontier: DataFrame           # nodes to expand this wave
+    seen: DataFrame               # (fingerprint, node, wave)
+    pop_log: list = field(default_factory=list)   # (seq, node, depth)
+    lineage: list = field(default_factory=list)   # per-wave metrics dicts
+
+
+class BfsWaveEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        images: DataFrame | None = None,
+        max_depth: int = 2,
+        checkpoint_dir: str | None = None,
+        qps: float | None = None,
+        n_shuffle: int | None = None,
+        broadcast_frontier: bool = True,
+        robots_disallow: DataFrame | None = None,
+        hot_host_salt: int = 4,
+    ):
+        self.spark = spark
+        self.edges = edges
+        self.images = images
+        self.max_depth = max_depth
+        self.checkpoint_dir = checkpoint_dir
+        self.qps = qps
+        self.broadcast_frontier = broadcast_frontier
+        self.robots_disallow = robots_disallow
+        self.hot_host_salt = hot_host_salt
+        self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # endpoint-exploded edge view: turns the two-sided expand join J1
+        # into one equi-join; at cluster scale, bucket the underlying
+        # table by `endpoint` so this join is co-located (no shuffle).
+        self._touch = endpoint_exploded(edges)
+
+    # ------------------------------------------------------------------ setup
+
+    def start(self, source: str) -> CrawlState:
+        frontier = self.spark.createDataFrame(
+            [(source, 0, 0, 0)], FRONTIER_SCHEMA
+        )
+        seen = frontier.select(
+            node_fingerprint(F.col("node")).alias("fingerprint"), "node", "wave"
+        )
+        state = CrawlState(wave=0, frontier=frontier, seen=seen)
+        state.pop_log.append((0, source, 0))
+        return state
+
+    # ------------------------------------------------------------------ waves
+
+    def _expand(self, frontier: DataFrame) -> DataFrame:
+        f = frontier.select(
+            F.col("node").alias("_parent"),
+            F.col("depth").alias("_pdepth"),
+            F.col("seq").alias("_pseq"),
+        )
+        if self.broadcast_frontier:
+            f = F.broadcast(f)
+        return self._touch.join(f, on=F.col("endpoint") == F.col("_parent"), how="inner")
+
+    def run_wave(self, state: CrawlState) -> tuple[CrawlState, DataFrame, DataFrame]:
+        """Advance one wave; returns (new_state, emitted_transfers, fetched)."""
+        t0 = time.monotonic()
+        wave = state.wave + 1
+        expansions = self._expand(state.frontier)
+
+        # canonical per-parent scan rank (block_number, timestamp, id asc)
+        rank_w = Window.partitionBy("_parent").orderBy(
+            *[F.col(c).asc() for c in CANONICAL_ORDER_COLS]
+        )
+        expansions = expansions.withColumn("_erank", F.row_number().over(rank_w))
+
+        # emitted transfers: every touched transfer, exact-dedup'd by id
+        emitted = expansions.select(*self.edges.columns).dropDuplicates(["id"])
+
+        # schedule candidates: push guard (depth+1 ≤ max) then both endpoints
+        candidates = (
+            expansions.where(F.col("_pdepth") + 1 <= F.lit(self.max_depth))
+            .select(
+                F.col("_pseq"), F.col("_erank"), F.col("_pdepth"),
+                F.explode(
+                    F.array(
+                        F.struct(F.lit(0).alias("slot"), F.col("address_from").alias("child")),
+                        F.struct(F.lit(1).alias("slot"), F.col("address_to").alias("child")),
+                    )
+                ).alias("c"),
+            )
+            .select("_pseq", "_erank", "_pdepth", F.col("c.slot"), F.col("c.child"))
+            .withColumn("fingerprint", node_fingerprint(F.col("child")))
+        )
+        if self.robots_disallow is not None:
+            candidates = candidates.join(
+                F.broadcast(self.robots_disallow.select(F.col("node").alias("child"))),
+                on="child", how="left_anti",
+            )
+
+        n_candidates = candidates.count()
+        # seen-set anti-join (J7) on the fingerprint — hash-partitioned;
+        # at 10^10 scale a Bloom pre-filter cuts this probe (see seen_bloom)
+        fresh = candidates.join(
+            state.seen.select("fingerprint"), on="fingerprint", how="left_anti"
+        )
+
+        # first-enqueue key per new node → deterministic seq
+        first = fresh.groupBy("child", "fingerprint").agg(
+            F.min(F.struct("_pseq", "_erank", "slot")).alias("k"),
+            F.first(F.col("_pdepth") + 1).alias("depth"),
+        )
+        order_w = Window.orderBy(F.col("k._pseq"), F.col("k._erank"), F.col("k.slot"))
+        base_seq = state.pop_log[-1][0] if state.pop_log else 0
+        new_frontier = (
+            first.withColumn("rn", F.row_number().over(order_w))
+            .select(
+                F.col("child").alias("node"),
+                F.col("depth").cast("int"),
+                (F.lit(base_seq) + F.col("rn")).alias("seq"),
+                F.lit(wave).alias("wave"),
+                "fingerprint",
+            )
+        )
+        new_rows = new_frontier.select("seq", "node", "depth").orderBy("seq").collect()
+        state.pop_log.extend((r.seq, r.node, r.depth) for r in new_rows)
+
+        fetched = self.fetch(new_frontier) if self.images is not None else None
+
+        new_seen = state.seen.unionByName(
+            new_frontier.select("fingerprint", "node", "wave")
+        )
+        n_new = len(new_rows)
+        state.lineage.append({
+            "wave": wave,
+            "frontier_in": state.frontier.count(),
+            "candidates": n_candidates,
+            "new_nodes": n_new,
+            "dedup_hit_rate": (1 - n_new / n_candidates) if n_candidates else 0.0,
+            "wall_sec": time.monotonic() - t0,
+        })
+        new_state = CrawlState(
+            wave=wave,
+            frontier=new_frontier.select("node", "depth", "seq", "wave"),
+            seen=new_seen,
+            pop_log=state.pop_log,
+            lineage=state.lineage,
+        )
+        if self.checkpoint_dir:
+            self._checkpoint(new_state)
+            new_state = self._reload(new_state.wave, new_state)  # truncate lineage DAG
+        return new_state, emitted, fetched
+
+    # ------------------------------------------------------------------ fetch
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        """Join payload rows and run the decode/verify kernel, partitioned
+        by host bucket (hot host-0 salted across ``hot_host_salt`` ways)."""
+        payload = frontier.join(self.images, on="node", how="inner")
+        host = F.regexp_extract("image_id", r"img://([^/]+)/", 1)
+        salt = F.when(
+            host == "host-0", F.pmod(F.xxhash64("image_id"), F.lit(self.hot_host_salt))
+        ).otherwise(F.lit(0))
+        payload = payload.withColumn("host_bucket", F.concat_ws("#", host, salt.cast("string")))
+        payload = payload.repartition(self.n_shuffle, "host_bucket")
+        return payload.mapInPandas(make_fetch_kernel(self.qps), FETCH_RESULT_SCHEMA)
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, source: str, collect_transfers: bool = True):
+        state = self.start(source)
+        all_emitted: DataFrame | None = None
+        all_fetched: DataFrame | None = None
+        while state.frontier.limit(1).count() > 0 and state.wave <= self.max_depth:
+            state, emitted, fetched = self.run_wave(state)
+            if collect_transfers:
+                all_emitted = emitted if all_emitted is None else (
+                    all_emitted.unionByName(emitted).dropDuplicates(["id"])
+                )
+            if fetched is not None:
+                all_fetched = fetched if all_fetched is None else all_fetched.unionByName(fetched)
+        return state, all_emitted, all_fetched
+
+    # ------------------------------------------------------------------ checkpoint / resume
+
+    def _wave_dir(self, wave: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"wave={wave:05d}")
+
+    def _checkpoint(self, state: CrawlState) -> None:
+        d = self._wave_dir(state.wave)
+        state.frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        # seen is range-partitioned by fingerprint so the next wave's
+        # anti-join reads a layout already organized on the probe key
+        state.seen.repartitionByRange(self.n_shuffle, "fingerprint").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "seen"))
+        with open(os.path.join(d, "meta.json"), "w") as fh:
+            json.dump(
+                {"wave": state.wave, "pop_log": state.pop_log, "lineage": state.lineage},
+                fh,
+            )
+
+    def _reload(self, wave: int, proto: CrawlState | None = None) -> CrawlState:
+        d = self._wave_dir(wave)
+        with open(os.path.join(d, "meta.json")) as fh:
+            meta = json.load(fh)
+        return CrawlState(
+            wave=meta["wave"],
+            frontier=self.spark.read.parquet(os.path.join(d, "frontier")),
+            seen=self.spark.read.parquet(os.path.join(d, "seen")),
+            pop_log=[tuple(x) for x in meta["pop_log"]],
+            lineage=meta["lineage"],
+        )
+
+    def resume(self, wave: int) -> CrawlState:
+        """Restart mid-crawl from the snapshot of ``wave``."""
+        return self._reload(wave)

@@ -1,0 +1,80 @@
+"""Wave-batched Spark BFS engine vs the sequential golden oracle.
+
+The crawl-order contract (BASELINE.json north rule): exact pop sequence,
+exact seen membership, exact emitted-transfer set, payload invariants,
+and byte-identical resume from a mid-crawl snapshot.
+"""
+
+import pytest
+
+from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+from blockchainspider_spark.oracle.crawl import run_crawl
+
+
+@pytest.fixture(scope="module")
+def oracle_result(edges_pdf, source):
+    return run_crawl(edges_pdf, source, "BFS", {"depth": 2})
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, edges_df, images_df, source):
+    engine = BfsWaveEngine(spark, edges_df, images=images_df, max_depth=2)
+    return engine.run(source)
+
+
+def test_pop_order_exact(engine_run, oracle_result):
+    state, _, _ = engine_run
+    got = [(seq, node) for seq, node, _ in state.pop_log]
+    want = [(step, node) for step, node, _ in oracle_result.pop_log]
+    assert got == want
+
+
+def test_depth_context_exact(engine_run, oracle_result):
+    state, _, _ = engine_run
+    got = {node: depth for _, node, depth in state.pop_log}
+    want = {node: ctx.get("depth", 0) for _, node, ctx in oracle_result.pop_log}
+    assert got == want
+
+
+def test_seen_membership_exact(engine_run, oracle_result):
+    state, _, _ = engine_run
+    seen_nodes = {r.node for r in state.seen.select("node").collect()}
+    assert seen_nodes == oracle_result.seen
+
+
+def test_emitted_transfers_exact(engine_run, oracle_result):
+    _, emitted, _ = engine_run
+    got = {r.id for r in emitted.select("id").collect()}
+    assert got == set(oracle_result.edges_emitted)
+
+
+def test_payload_invariants(engine_run):
+    state, _, fetched = engine_run
+    rows = fetched.collect()
+    assert len(rows) == len(state.pop_log) - 1  # all non-seed pops fetched
+    assert all(r.phash_match for r in rows), "decoded perceptual hash must match"
+    assert all(r.psnr_ok for r in rows), "PSNR >= 40 dB (lossy) / inf (lossless)"
+    assert all(len(r.caption_sha) == 64 for r in rows)
+
+
+def test_lineage_metrics(engine_run):
+    state, _, _ = engine_run
+    assert len(state.lineage) >= 2
+    for row in state.lineage:
+        assert 0.0 <= row["dedup_hit_rate"] <= 1.0
+        assert row["wall_sec"] > 0
+
+
+def test_checkpoint_resume(spark, edges_df, images_df, source, oracle_result, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    engine = BfsWaveEngine(spark, edges_df, images=images_df, max_depth=2, checkpoint_dir=ckpt)
+    # run only wave 1, drop everything, resume from the snapshot
+    state = engine.start(source)
+    state, _, _ = engine.run_wave(state)
+    resumed = engine.resume(1)
+    assert resumed.pop_log == state.pop_log
+    while resumed.frontier.limit(1).count() > 0 and resumed.wave <= 2:
+        resumed, _, _ = engine.run_wave(resumed)
+    want = [(step, node) for step, node, _ in oracle_result.pop_log]
+    got = [(seq, node) for seq, node, _ in resumed.pop_log]
+    assert got == want, "resume from snapshot reproduces the identical crawl"
