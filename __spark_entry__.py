@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship distributed BFS crawl over a graph
+derived from the sf0.001 tables; ``queries()``/``oracle_sql()`` expose
+the operator-gate suite (SURVEY.md §2 IDs in the names) checked against
+DuckDB at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wave-batched BFS crawl (depth 2) over the customer↔part
+    bipartite graph of sf0.001; returns the crawl-order log
+    (seq, node, depth) — the north rule's pop-order contract."""
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+    from blockchainspider_spark.entry_queries import _bipartite_edges
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = _bipartite_edges(spark, sf_dir).withColumnRenamed("src", "address_from") \
+        .withColumnRenamed("dst", "address_to")
+    from pyspark.sql import functions as F
+
+    edges = edges.select(
+        F.sha1(F.concat_ws("_", "address_from", "address_to")).alias("id"),
+        F.lit("0x0").alias("hash"),
+        "address_from",
+        "address_to",
+        F.lit("1").alias("value"),
+        F.lit("").alias("token_id"),
+        F.lit(0).cast("long").alias("timestamp"),
+        F.lit(0).cast("long").alias("block_number"),
+        F.lit("0x" + "0" * 40).alias("contract_address"),
+        F.lit("native").alias("symbol"),
+        F.lit(18).alias("decimals"),
+        F.lit("0").alias("gas"),
+        F.lit("0").alias("gas_price"),
+    ).dropDuplicates(["id"])
+    engine = BfsWaveEngine(spark, edges, images=None, max_depth=2)
+    state, _, _ = engine.run("c1", collect_transfers=False)
+    return spark.createDataFrame(
+        [(int(s), n, int(d)) for s, n, d in state.pop_log],
+        "seq long, node string, depth int",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from blockchainspider_spark.entry_queries import build_suite
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = build_suite()
+    try:
+        from blockchainspider_spark.entry_dedup import build_dedup_suite
+
+        dq, _ = build_dedup_suite()
+        q.update(dq)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from blockchainspider_spark.entry_queries import build_suite
+
+    _, o = build_suite()
+    try:
+        from blockchainspider_spark.entry_dedup import build_dedup_suite
+
+        _, do = build_dedup_suite()
+        o.update(do)
+    except ImportError:
+        pass
+    return o

@@ -1,0 +1,115 @@
+"""Headline benchmark: crawl throughput + operator suite at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "frontier_urls_per_sec", "value": <crawl throughput>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": ...}
+
+``value`` is the primary BASELINE.json metric — frontier URLs processed
+per second (fetch+dedup+schedule) by the wave-batched BFS engine over
+the bipartite graph derived from the scale tables. ``queries`` carries
+wall seconds per headline operator query. Scaling evidence (local[8] vs
+local[32]) is produced separately by tools/bench_scaling.py into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "flagship_pricing_rollup",
+    "j1_frontier_expand",
+    "a2_weight_scatter",
+    "a8_swap_cancel",
+    "w1_cumulative_flow",
+    "crawl_bfs_seen",
+    "d3_lsh_near_dup",
+    "d6_embedding_neardup",
+    "sim_ann_topk",
+    "t2_quality_score",
+]
+
+
+def crawl_bench(spark) -> tuple[float, float, int]:
+    """Wave-batched BFS crawl over the derived bipartite graph; returns
+    (urls_per_sec, wall_sec, n_urls)."""
+    from pyspark.sql import functions as F
+
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+    from blockchainspider_spark.entry_queries import _bipartite_edges
+
+    edges = (
+        _bipartite_edges(spark, SF_DIR)
+        .select(
+            F.sha1(F.concat_ws("_", "src", "dst")).alias("id"),
+            F.lit("0x0").alias("hash"),
+            F.col("src").alias("address_from"),
+            F.col("dst").alias("address_to"),
+            F.lit("1").alias("value"),
+            F.lit("").alias("token_id"),
+            F.lit(0).cast("long").alias("timestamp"),
+            F.lit(0).cast("long").alias("block_number"),
+            F.lit("0x" + "0" * 40).alias("contract_address"),
+            F.lit("native").alias("symbol"),
+            F.lit(18).alias("decimals"),
+            F.lit("0").alias("gas"),
+            F.lit("0").alias("gas_price"),
+        )
+        .dropDuplicates(["id"])
+    )
+    edges.persist().count()
+    engine = BfsWaveEngine(spark, edges, images=None, max_depth=2)
+    t0 = time.monotonic()
+    state, _, _ = engine.run("c1", collect_transfers=False)
+    wall = time.monotonic() - t0
+    n = len(state.pop_log)
+    edges.unpersist()
+    return n / wall, wall, n
+
+
+def main():
+    from blockchainspider_spark.entry_dedup import build_dedup_suite
+    from blockchainspider_spark.entry_queries import build_suite
+    from blockchainspider_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", extra_conf={
+        "spark.sql.shuffle.partitions": str(max(int(CPUS) if CPUS.isdigit() else 32, 16)),
+    })
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = build_suite()
+    dq, _ = build_dedup_suite()
+    queries.update(dq)
+
+    timings = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    ups, crawl_wall, n_urls = crawl_bench(spark)
+    timings["crawl_bfs_wavebatched"] = round(crawl_wall, 3)
+    print(f"# crawl: {n_urls} urls in {crawl_wall:.1f}s = {ups:.0f} urls/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "frontier_urls_per_sec",
+        "value": round(ups, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,21 +57,23 @@ class ExactCrawlEngine:
             F.col("address_from").alias("from"),
             F.col("address_to").alias("to"),
             F.col("value_d").alias("value"),
-            F.col("timestamp").alias("timeStamp"),
+            F.col("timestamp").alias("ts_edge"),
             F.col("symbol_identity").alias("symbol"),
-            *[F.col(c) for c in ("block_number", "timestamp")],
+            F.col("block_number").alias("_bn"),
         )
         self.adapted = adapted.persist()
 
     def _expand(self, node: str) -> pd.DataFrame:
         """One Spark job: all transfers touching the node, canonical order.
         Predicate pushes into the scan; result arrives as Arrow batches."""
-        return (
+        pdf = (
             self.adapted.where((F.col("from") == node) | (F.col("to") == node))
-            .orderBy(*CANONICAL_ORDER_COLS)
-            .drop("block_number", "timestamp")
+            .orderBy("_bn", "ts_edge", "id")
+            .drop("_bn")
             .toPandas()
         )
+        # pandas rename is case-sensitive, unlike Spark column resolution
+        return pdf.rename(columns={"ts_edge": "timeStamp"})
 
     def run(self, source: str, max_steps: int | None = None) -> ExactCrawlResult:
         model = VEC_REGISTRY[self.strategy_name](source, **self.params)

@@ -1,0 +1,354 @@
+"""Gate queries: dedup / similarity / text analysis over documents+embeddings.
+
+Every query plants its own duplicates deterministically (union of a
+mutated copy) so results are non-empty and identical across engines —
+the synthetic corpus itself contains no natural dups. Hash primitives
+are md5-based (portable to the DuckDB oracle); see operators/dedup.py
+for the scale notes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.operators import dedup as D
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _docs_with_dups(spark, sf_dir, n: int = 30) -> DataFrame:
+    """documents ∪ near-dup copies: doc_id+100000, text || ' zz' for
+    doc_id < n (exact SQL twin in each oracle)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = (
+        d.where(F.col("doc_id") < n)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    return d.unionByName(mutated)
+
+
+_DOCS_DUPS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+      FROM documents WHERE doc_id < 30
+"""
+
+
+def q_d1_exact_dedup(spark, sf_dir):
+    """Exact dedup (hash-groupBy): identical copies planted for doc_id<30."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return D.exact_duplicates(d.unionByName(dup), "doc_id", "text")
+
+
+def q_d1_exact_dedup_sql():
+    return """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+    )
+    SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper
+    FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+def q_d2_minhash_signature(spark, sf_dir):
+    """MinHash signatures (8 perms, 4-char shingles) for doc_id < 25."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 25)
+    return D.minhash_signatures(d, "doc_id", "text", n_hashes=8, k=4)
+
+
+def q_d2_minhash_signature_sql():
+    return """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(list_distinct([substr(text, i, 4) for i in range(1, greatest(len(text) - 3, 1) + 1)])) AS shingle
+      FROM docs
+    ),
+    hashed AS (
+      SELECT doc, seed,
+             ('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 15))::BIGINT AS h
+      FROM sh, (SELECT unnest(range(0, 8)) AS seed)
+    )
+    SELECT doc, seed, min(h) AS minhash FROM hashed GROUP BY 1, 2
+    """
+
+
+def q_d3_lsh_near_dup(spark, sf_dir):
+    """Full MinHash→LSH→exact-Jaccard near-dup pipeline over the corpus
+    with planted near-dups; bands of 4 over 16 hashes, τ=0.6."""
+    corpus = _docs_with_dups(spark, sf_dir).where(
+        (F.col("doc_id") < 60) | (F.col("doc_id") >= 100000)
+    )
+    return D.near_duplicates_minhash(corpus, "doc_id", "text",
+                                     n_hashes=16, rows_per_band=4, k=4, threshold=0.6)
+
+
+def q_d3_lsh_near_dup_sql():
+    return f"""
+    WITH corpus0 AS ({_DOCS_DUPS_SQL}),
+    corpus AS (SELECT * FROM corpus0 WHERE doc_id < 60 OR doc_id >= 100000),
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(list_distinct([substr(text, i, 4) for i in range(1, greatest(len(text) - 3, 1) + 1)])) AS shingle
+      FROM corpus
+    ),
+    sigs AS (
+      SELECT doc, seed,
+             min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 15))::BIGINT) AS minhash
+      FROM sh, (SELECT unnest(range(0, 16)) AS seed)
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc, seed // 4 AS band,
+             md5(array_to_string(list_sort(list(seed::VARCHAR || ':' || minhash::VARCHAR)), '_')) AS band_key
+      FROM sigs GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.doc < r.doc
+    ),
+    sets AS (SELECT doc, list(DISTINCT shingle) AS s FROM sh GROUP BY 1)
+    SELECT a, b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+    FROM cands JOIN sets sa ON cands.a = sa.doc JOIN sets sb ON cands.b = sb.doc
+    WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 6) >= 0.6
+    """
+
+
+def q_d4_simhash(spark, sf_dir):
+    """16-bit token SimHash per document (doc_id < 50)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    return D.simhash(d, "doc_id", "text", bits=16)
+
+
+def q_d4_simhash_sql():
+    return """
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 50
+    ),
+    hashed AS (
+      SELECT doc, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks WHERE tok <> ''
+    ),
+    votes AS (
+      SELECT doc, pos, sum(((h >> pos) & 1) * 2 - 1) AS vote
+      FROM hashed, (SELECT unnest(range(0, 16)) AS pos)
+      GROUP BY 1, 2
+    )
+    SELECT doc, sum(CASE WHEN vote > 0 THEN (1::BIGINT << pos) ELSE 0 END) AS simhash
+    FROM votes GROUP BY 1
+    """
+
+
+def q_d5_ngram_jaccard(spark, sf_dir):
+    """Exact 4-gram Jaccard for all planted near-dup pairs (a, a+100000):
+    the vectorized verify stage of the dedup pipeline in isolation."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = (
+        corpus.where(F.col("doc_id") < 30)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 100000).alias("b"))
+    )
+    return D.exact_jaccard(corpus, "doc_id", "text", pairs, k=4)
+
+
+def q_d5_ngram_jaccard_sql():
+    return f"""
+    WITH corpus AS ({_DOCS_DUPS_SQL}),
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(list_distinct([substr(text, i, 4) for i in range(1, greatest(len(text) - 3, 1) + 1)])) AS shingle
+      FROM corpus
+    ),
+    sets AS (SELECT doc, list(DISTINCT shingle) AS s FROM sh GROUP BY 1),
+    pairs AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents WHERE doc_id < 30)
+    SELECT a, b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+    FROM pairs JOIN sets sa ON pairs.a = sa.doc JOIN sets sb ON pairs.b = sb.doc
+    """
+
+
+def q_d6_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.8 among vec_id<150 plus planted
+    exact copies (vid+100000 for vec_id<15) — brute-force verify path."""
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 150).select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return D.cosine_pairs(e.unionByName(copies), threshold=0.8)
+
+
+def q_d6_embedding_neardup_sql():
+    return """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 150
+      UNION ALL
+      SELECT vec_id + 100000, embedding::DOUBLE[]
+      FROM embeddings WHERE vec_id < 15
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8
+    """
+
+
+def q_sim_ann_topk(spark, sf_dir):
+    """ANN baseline: brute-force cosine top-3 per query (vec_id < 5)."""
+    return D.ann_topk(_emb(spark, sf_dir), n_queries=5, k=3)
+
+
+def q_sim_ann_topk_sql():
+    return """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+      FROM base q JOIN base c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_t1_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + regex word tokens per doc,
+    aggregated per lang."""
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("word_tokens"),
+        F.length("text").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("sum_ws_tokens"),
+        F.sum("word_tokens").alias("sum_word_tokens"),
+        F.round(F.avg("chars"), 6).alias("avg_chars"),
+    )
+
+
+def q_t1_token_stats_sql():
+    return """
+    SELECT lang, count(*) AS n_docs,
+           sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS sum_ws_tokens,
+           sum(len(regexp_extract_all(text, '[a-z]+'))) AS sum_word_tokens,
+           round(avg(len(text)), 6) AS avg_chars
+    FROM documents GROUP BY 1
+    """
+
+
+def q_t2_quality_score(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean token length + length band
+    → composite score (deterministic formula, both engines)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "row", "data", "value")))
+    n = F.size(toks)
+    score = (
+        F.round(
+            0.5 * (stop / n)
+            + 0.3 * F.least(F.length("text") / 400.0, F.lit(1.0))
+            + 0.2 * F.least((F.length("text") / n) / 8.0, F.lit(1.0)),
+            6,
+        )
+    )
+    return d.select("doc_id", n.alias("n_tokens"), score.alias("quality"))
+
+
+def q_t2_quality_score_sql():
+    return """
+    WITH t AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             len(list_filter(string_split(text, ' '), t -> t IN ('the','a','row','data','value'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(0.5 * (n_stop::DOUBLE / n_tokens)
+               + 0.3 * least(len(text) / 400.0, 1.0)
+               + 0.2 * least((len(text)::DOUBLE / n_tokens) / 8.0, 1.0), 6) AS quality
+    FROM t
+    """
+
+
+def q_t3_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: content hash of normalized text + a
+    boundary hash (first/last 64 chars) — rolling-hash stand-in."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace("text", r"[^a-z ]", ""))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(F.concat(F.substring("text", 1, 64), F.substring("text", -64, 64))).alias("boundary_fp"),
+    )
+
+
+def q_t3_doc_fingerprint_sql():
+    return """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[^a-z ]', '', 'g'))) AS content_fp,
+           md5(substr(text, 1, 64) || substr(text, greatest(len(text) - 63, 1), 64)) AS boundary_fp
+    FROM documents
+    """
+
+
+def q_t4_lang_profile(spark, sf_dir):
+    """Language-ID support profile: per-lang char-class densities the
+    n-gram classifier would train on."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_t4_lang_profile_sql():
+    return """
+    SELECT lang, source, count(*) AS n_docs, round(avg(len(text)), 6) AS avg_len,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY 1, 2
+    """
+
+
+def build_dedup_suite() -> tuple[dict[str, Callable], dict[str, str]]:
+    queries, oracles = {}, {}
+    for name, fn in list(globals().items()):
+        if name.startswith("q_") and callable(fn) and not name.endswith("_sql"):
+            key = name[2:]
+            queries[key] = fn
+            sql_fn = globals().get(f"{name}_sql")
+            if sql_fn:
+                oracles[key] = sql_fn()
+    return queries, oracles

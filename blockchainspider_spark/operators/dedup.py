@@ -1,0 +1,244 @@
+"""Deduplication + similarity operators for training-data pipelines.
+
+All hash primitives are engine-portable (md5 hex → 60-bit int) so every
+operator has an exact cross-engine oracle; no xxhash/murmur (DuckDB
+lacks them). Scale notes per operator:
+
+* exact dedup — hash-groupBy; shuffle on the content hash only (project
+  the hash before the exchange, never the payload).
+* MinHash — shingle explode is the wide stage; the per-(doc, seed) min
+  is a partial agg (map-side combine), so the shuffle carries
+  |docs|×n_hashes rows, not |shingles|.
+* LSH — band-bucket self-join; bucket sizes are the skew risk (salt or
+  cap buckets at cluster scale); candidates verified with exact Jaccard
+  so false positives never escape (reference-style Bloom semantics:
+  approximate filter, exact authority — SURVEY U5).
+* SimHash — token explode → per-bit majority vote as one groupBy.
+* embedding cosine — brute-force O(n²) baseline kept for oracle parity;
+  the scale path buckets by LSH sign-bits first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash60(col, seed: str | None = None):
+    """Portable 60-bit hash: first 15 hex chars of md5 → bigint.
+    DuckDB twin: ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    x = F.concat(col, F.lit("#" + seed)) if seed is not None else col
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup groups: content hash → members (only groups >1)."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.md5(F.col(content_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc").alias("keeper"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 4) -> DataFrame:
+    """Distinct k-char shingles per doc (higher-order transform, no UDF).
+    DuckDB twin: list comprehension [substr(text,i,k) for i in range(...)]."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+        lambda i: F.substring_index(F.lit(""), "", 1),  # placeholder, replaced below
+    )
+    # F.substring doesn't accept a Column start pre-3.4 idiom; use expr:
+    arr = F.expr(f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), i -> substring({text_col}, i, {k}))")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(arr)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, k: int = 4
+) -> DataFrame:
+    """(doc, seed, minhash) long-format MinHash signatures."""
+    sh = char_shingles(df, id_col, text_col, k)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc", "shingle", seeds)
+        .withColumn("h", hash60(F.concat_ws("#", "shingle", "seed")))
+        .groupBy("doc", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature (seed // rows_per_band), bucket-join docs whose
+    band signature matches; emit distinct candidate pairs (a < b)."""
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.md5(F.concat_ws("_", F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash").cast("string"))
+        )))).alias("band_key"))
+    )
+    left = banded.select(F.col("doc").alias("a"), "band", "band_key")
+    right = banded.select(F.col("doc").alias("b"), "band", "band_key")
+    return (
+        left.join(right, on=["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def exact_jaccard(df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, k: int = 4) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard."""
+    sets = (
+        char_shingles(df, id_col, text_col, k)
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    a = sets.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "a").join(b, "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int = 16, rows_per_band: int = 4, k: int = 4, threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash-LSH candidates + exact-Jaccard verification ≥ threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    cands = lsh_candidate_pairs(sigs, rows_per_band)
+    return exact_jaccard(df, id_col, text_col, cands, k).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Token-level SimHash (``bits`` wide): per-bit majority vote over
+    token hashes, packed into one integer."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.withColumn("h", hash60(F.col("tok")))
+    votes = (
+        hashed.select(
+            "doc",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos"),
+            "h",
+        )
+        .withColumn("bit", F.expr("shiftright(h, pos) & 1"))
+        .groupBy("doc", "pos")
+        .agg(F.sum(F.col("bit") * 2 - 1).alias("vote"))
+    )
+    return votes.groupBy("doc").agg(
+        F.sum(F.expr("CASE WHEN vote > 0 THEN shiftleft(1L, pos) ELSE 0L END")).alias("simhash")
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9, limit_ids: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (a < b). O(n²) baseline — the
+    oracle-parity path; production path buckets by sign-LSH first."""
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    if limit_ids is not None:
+        base = base.where(F.col("vid") < limit_ids)
+    norm = base.withColumn(
+        "n", F.sqrt(F.aggregate(F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda s, x: s + x))
+    )
+    a = norm.select(F.col("vid").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = norm.select(F.col("vid").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ann_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k per query vector (ANN baseline);
+    deterministic tiebreak on neighbor id."""
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    norm = base.withColumn(
+        "n", F.sqrt(F.aggregate(F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda s, x: s + x))
+    )
+    q = norm.where(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("vq"), F.col("n").alias("nq")
+    )
+    c = norm.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vc"), F.col("n").alias("nc"))
+    dot = F.aggregate(F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    scored = (
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dot / (F.col("nq") * F.col("nc")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def ann_lsh_bucketed(
+    emb: DataFrame, n_queries: int = 5, k: int = 3, n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path ANN: random-hyperplane sign-LSH buckets shrink the
+    candidate set before the exact cosine top-k. Deterministic planes
+    (hash-seeded), multi-probe = exact bucket only; recall traded for
+    the 1/2^planes candidate cut."""
+    dims = len(emb.select(vec_col).first()[0])
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    planes = rng.standard_normal((n_planes, dims))
+    plane_lits = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]) for row in planes
+    ])
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    sig = base.withColumn(
+        "bucket",
+        F.aggregate(
+            F.transform(
+                plane_lits,
+                lambda p: F.when(
+                    F.aggregate(F.zip_with("v", p, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x) > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, bit: acc * 2 + bit,
+        ),
+    )
+    norm = sig.withColumn(
+        "n", F.sqrt(F.aggregate(F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda s, x: s + x))
+    )
+    q = norm.where(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("vq"),
+        F.col("n").alias("nq"), F.col("bucket"),
+    )
+    c = norm.select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("vc"),
+        F.col("n").alias("nc"), F.col("bucket"),
+    )
+    dot = F.aggregate(F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    scored = (
+        F.broadcast(q).join(c, on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dot / (F.col("nq") * F.col("nc")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
