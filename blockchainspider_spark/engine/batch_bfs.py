@@ -11,28 +11,32 @@ push order (reference bfs.py:27-29).
 
 Per wave:
 
-1. **expand** — one equi-join of the endpoint-exploded edge view against
-   the (broadcast) frontier; Catalyst pushes the depth guard and prunes
-   columns into the parquet scan.
+1. **expand** — one equi-join of the (persisted) endpoint-exploded edge
+   view against the broadcast frontier; Catalyst pushes the depth guard
+   and prunes columns into the scan.
 2. **emit** — transfers dedup'd by id vs all previously emitted
-   (left_anti; reference pipelines/subgraph.py:9-27).
+   (left_anti at final materialization; reference pipelines/subgraph.py:9-27).
 3. **schedule** — explode (from,to) children, anti-join the seen set
-   (J7), keep min first-enqueue key per node, assign dense ``seq``.
+   (J7), keep min first-enqueue key per fingerprint, assign dense ``seq``.
 4. **fetch** — join the images payload table, repartition by
    ``host_bucket`` (hot hosts salted), run the Arrow-batched fetch
    kernel (decode + PSNR/caption invariants + token-bucket pacing).
 5. **checkpoint** — frontier/seen/lineage parquet snapshot per wave;
    ``resume()`` restarts mid-crawl from any wave.
 
-Scale design (100 TB / 10^10-URL frontier):
+Execution-cost discipline: exactly ONE action per wave (the ordered
+collect of the new frontier — which is small by definition); everything
+else stays lazy. The frontier is rebuilt from the collected rows so its
+lineage never deepens; ``seen`` is persisted per wave and unpersisted
+behind itself (parquet-truncated when checkpointing).
 
-* the only per-wave shuffles are the expand join (avoidable by
-  bucketing edges on ``endpoint``), the per-parent rank window, and the
-  seen anti-join (hash-partitioned by fingerprint; Bloom pre-filter cuts
-  the probe side before the exact join);
-* the frontier is broadcast only while small (``broadcast_frontier``),
-  else it joins shuffle-side with AQE skew split;
-* ``seq`` assignment sorts only the *new* nodes of one wave (≪ total).
+Scale design (100 TB / 10^10-URL frontier): the only per-wave shuffles
+are the expand join (avoidable by bucketing edges on ``endpoint``), the
+per-parent rank window, and the seen anti-join (hash-partitioned on the
+fingerprint; a Bloom pre-filter — functions/bloom.py — cuts the probe
+side before the exact join). The frontier is broadcast only while small
+(``broadcast_frontier``), else it joins shuffle-side with AQE skew
+split. ``seq`` assignment sorts only the *new* nodes of one wave.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ from blockchainspider_spark.functions.payload import FETCH_RESULT_SCHEMA, make_f
 from blockchainspider_spark.operators.transfers import CANONICAL_ORDER_COLS, endpoint_exploded
 
 FRONTIER_SCHEMA = "node string, depth int, seq long, wave int"
+SEEN_SCHEMA = "fingerprint string, node string, wave int"
 
 
 @dataclass
@@ -57,6 +62,7 @@ class CrawlState:
     wave: int
     frontier: DataFrame           # nodes to expand this wave
     seen: DataFrame               # (fingerprint, node, wave)
+    frontier_size: int
     pop_log: list = field(default_factory=list)   # (seq, node, depth)
     lineage: list = field(default_factory=list)   # per-wave metrics dicts
 
@@ -74,6 +80,7 @@ class BfsWaveEngine:
         broadcast_frontier: bool = True,
         robots_disallow: DataFrame | None = None,
         hot_host_salt: int = 4,
+        lineage_detail: bool = False,
     ):
         self.spark = spark
         self.edges = edges
@@ -84,22 +91,23 @@ class BfsWaveEngine:
         self.broadcast_frontier = broadcast_frontier
         self.robots_disallow = robots_disallow
         self.hot_host_salt = hot_host_salt
+        self.lineage_detail = lineage_detail
         self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
         # endpoint-exploded edge view: turns the two-sided expand join J1
-        # into one equi-join; at cluster scale, bucket the underlying
-        # table by `endpoint` so this join is co-located (no shuffle).
-        self._touch = endpoint_exploded(edges)
+        # into one equi-join; persisted — every wave re-probes it. At
+        # cluster scale, bucket the underlying table by `endpoint` so
+        # this join co-locates with no per-wave shuffle.
+        self._touch = endpoint_exploded(edges).persist()
+        self._prev_seen: DataFrame | None = None
 
     # ------------------------------------------------------------------ setup
 
     def start(self, source: str) -> CrawlState:
-        frontier = self.spark.createDataFrame(
-            [(source, 0, 0, 0)], FRONTIER_SCHEMA
-        )
+        frontier = self.spark.createDataFrame([(source, 0, 0, 0)], FRONTIER_SCHEMA)
         seen = frontier.select(
             node_fingerprint(F.col("node")).alias("fingerprint"), "node", "wave"
-        )
-        state = CrawlState(wave=0, frontier=frontier, seen=seen)
+        ).persist()
+        state = CrawlState(wave=0, frontier=frontier, seen=seen, frontier_size=1)
         state.pop_log.append((0, source, 0))
         return state
 
@@ -116,7 +124,9 @@ class BfsWaveEngine:
         return self._touch.join(f, on=F.col("endpoint") == F.col("_parent"), how="inner")
 
     def run_wave(self, state: CrawlState) -> tuple[CrawlState, DataFrame, DataFrame]:
-        """Advance one wave; returns (new_state, emitted_transfers, fetched)."""
+        """Advance one wave; returns (new_state, emitted_transfers, fetched).
+        ``emitted_transfers`` is lazy (this wave's touched transfers,
+        within-wave dedup'd); union + global dedup happens in run()."""
         t0 = time.monotonic()
         wave = state.wave + 1
         expansions = self._expand(state.frontier)
@@ -125,14 +135,12 @@ class BfsWaveEngine:
         rank_w = Window.partitionBy("_parent").orderBy(
             *[F.col(c).asc() for c in CANONICAL_ORDER_COLS]
         )
-        expansions = expansions.withColumn("_erank", F.row_number().over(rank_w))
+        ranked = expansions.withColumn("_erank", F.row_number().over(rank_w))
 
-        # emitted transfers: every touched transfer, exact-dedup'd by id
         emitted = expansions.select(*self.edges.columns).dropDuplicates(["id"])
 
-        # schedule candidates: push guard (depth+1 ≤ max) then both endpoints
         candidates = (
-            expansions.where(F.col("_pdepth") + 1 <= F.lit(self.max_depth))
+            ranked.where(F.col("_pdepth") + 1 <= F.lit(self.max_depth))
             .select(
                 F.col("_pseq"), F.col("_erank"), F.col("_pdepth"),
                 F.explode(
@@ -151,57 +159,69 @@ class BfsWaveEngine:
                 on="child", how="left_anti",
             )
 
-        n_candidates = candidates.count()
-        # seen-set anti-join (J7) on the fingerprint — hash-partitioned;
-        # at 10^10 scale a Bloom pre-filter cuts this probe (see seen_bloom)
+        n_candidates = candidates.count() if self.lineage_detail else None
         fresh = candidates.join(
             state.seen.select("fingerprint"), on="fingerprint", how="left_anti"
         )
-
-        # first-enqueue key per new node → deterministic seq
-        first = fresh.groupBy("child", "fingerprint").agg(
-            F.min(F.struct("_pseq", "_erank", "slot")).alias("k"),
-            F.first(F.col("_pdepth") + 1).alias("depth"),
+        first = fresh.groupBy("fingerprint").agg(
+            F.min(F.struct("_pseq", "_erank", "slot",
+                           F.col("child").alias("node"),
+                           (F.col("_pdepth") + 1).alias("depth"))).alias("k")
         )
         order_w = Window.orderBy(F.col("k._pseq"), F.col("k._erank"), F.col("k.slot"))
         base_seq = state.pop_log[-1][0] if state.pop_log else 0
-        new_frontier = (
+
+        # THE one action of the wave: ordered collect of the (small) new frontier
+        new_rows = (
             first.withColumn("rn", F.row_number().over(order_w))
             .select(
-                F.col("child").alias("node"),
-                F.col("depth").cast("int"),
+                F.col("k.node").alias("node"),
+                F.col("k.depth").cast("int").alias("depth"),
                 (F.lit(base_seq) + F.col("rn")).alias("seq"),
-                F.lit(wave).alias("wave"),
                 "fingerprint",
             )
+            .orderBy("seq")
+            .collect()
         )
-        new_rows = new_frontier.select("seq", "node", "depth").orderBy("seq").collect()
         state.pop_log.extend((r.seq, r.node, r.depth) for r in new_rows)
+
+        # rebuild frontier + seen from driver rows → lineage stays flat
+        new_frontier = self.spark.createDataFrame(
+            [(r.node, r.depth, r.seq, wave) for r in new_rows], FRONTIER_SCHEMA
+        )
+        new_seen_rows = self.spark.createDataFrame(
+            [(r.fingerprint, r.node, wave) for r in new_rows], SEEN_SCHEMA
+        )
+        new_seen = state.seen.unionByName(new_seen_rows).persist()
+        if self._prev_seen is not None:
+            self._prev_seen.unpersist()
+        self._prev_seen = state.seen
 
         fetched = self.fetch(new_frontier) if self.images is not None else None
 
-        new_seen = state.seen.unionByName(
-            new_frontier.select("fingerprint", "node", "wave")
-        )
         n_new = len(new_rows)
-        state.lineage.append({
+        lineage_row = {
             "wave": wave,
-            "frontier_in": state.frontier.count(),
-            "candidates": n_candidates,
+            "frontier_in": state.frontier_size,
             "new_nodes": n_new,
-            "dedup_hit_rate": (1 - n_new / n_candidates) if n_candidates else 0.0,
             "wall_sec": time.monotonic() - t0,
-        })
+        }
+        if n_candidates is not None:
+            lineage_row["candidates"] = n_candidates
+            lineage_row["dedup_hit_rate"] = (1 - n_new / n_candidates) if n_candidates else 0.0
+        state.lineage.append(lineage_row)
+
         new_state = CrawlState(
             wave=wave,
-            frontier=new_frontier.select("node", "depth", "seq", "wave"),
+            frontier=new_frontier,
             seen=new_seen,
+            frontier_size=n_new,
             pop_log=state.pop_log,
             lineage=state.lineage,
         )
         if self.checkpoint_dir:
             self._checkpoint(new_state)
-            new_state = self._reload(new_state.wave, new_state)  # truncate lineage DAG
+            new_state = self._reload(new_state.wave)
         return new_state, emitted, fetched
 
     # ------------------------------------------------------------------ fetch
@@ -222,16 +242,25 @@ class BfsWaveEngine:
 
     def run(self, source: str, collect_transfers: bool = True):
         state = self.start(source)
-        all_emitted: DataFrame | None = None
-        all_fetched: DataFrame | None = None
-        while state.frontier.limit(1).count() > 0 and state.wave <= self.max_depth:
+        emitted_waves: list[DataFrame] = []
+        fetched_waves: list[DataFrame] = []
+        while state.frontier_size > 0 and state.wave <= self.max_depth:
             state, emitted, fetched = self.run_wave(state)
             if collect_transfers:
-                all_emitted = emitted if all_emitted is None else (
-                    all_emitted.unionByName(emitted).dropDuplicates(["id"])
-                )
+                emitted_waves.append(emitted)
             if fetched is not None:
-                all_fetched = fetched if all_fetched is None else all_fetched.unionByName(fetched)
+                fetched_waves.append(fetched)
+        all_emitted = None
+        if emitted_waves:
+            all_emitted = emitted_waves[0]
+            for df in emitted_waves[1:]:
+                all_emitted = all_emitted.unionByName(df)
+            all_emitted = all_emitted.dropDuplicates(["id"])
+        all_fetched = None
+        if fetched_waves:
+            all_fetched = fetched_waves[0]
+            for df in fetched_waves[1:]:
+                all_fetched = all_fetched.unionByName(df)
         return state, all_emitted, all_fetched
 
     # ------------------------------------------------------------------ checkpoint / resume
@@ -249,11 +278,16 @@ class BfsWaveEngine:
         ).parquet(os.path.join(d, "seen"))
         with open(os.path.join(d, "meta.json"), "w") as fh:
             json.dump(
-                {"wave": state.wave, "pop_log": state.pop_log, "lineage": state.lineage},
+                {
+                    "wave": state.wave,
+                    "frontier_size": state.frontier_size,
+                    "pop_log": state.pop_log,
+                    "lineage": state.lineage,
+                },
                 fh,
             )
 
-    def _reload(self, wave: int, proto: CrawlState | None = None) -> CrawlState:
+    def _reload(self, wave: int) -> CrawlState:
         d = self._wave_dir(wave)
         with open(os.path.join(d, "meta.json")) as fh:
             meta = json.load(fh)
@@ -261,6 +295,7 @@ class BfsWaveEngine:
             wave=meta["wave"],
             frontier=self.spark.read.parquet(os.path.join(d, "frontier")),
             seen=self.spark.read.parquet(os.path.join(d, "seen")),
+            frontier_size=meta["frontier_size"],
             pop_log=[tuple(x) for x in meta["pop_log"]],
             lineage=meta["lineage"],
         )

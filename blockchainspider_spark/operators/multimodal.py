@@ -1,0 +1,144 @@
+"""Multimodal payload operators: typed binary columns + Arrow-batched kernels.
+
+Images/audio/video ride as opaque ``binary`` columns with typed metadata
+(fmt, w, h, …); per-row media work happens inside ``mapInPandas``
+kernels — one Python invocation per Arrow batch, numpy per payload.
+What's real vs stubbed in this container (no PIL/ffmpeg):
+
+* image decode        — REAL for 'png' (pure-numpy codec) and the
+                        deterministic 'jpeg' stand-in; other formats
+                        raise NotImplementedError (clearly gated).
+* resize              — REAL: numpy area-average resampling.
+* feature extraction  — REAL: channel means/stds + 64-bit phash.
+* video frame-sample  — plumbing REAL over a synthetic container
+                        (concatenated raw RGB frames, 'rawv' fmt);
+                        real codecs gated behind NotImplementedError.
+* audio decode        — STUB: NotImplementedError (no decoder in env).
+
+Partitioning: callers should repartition by a content-hash bucket before
+these kernels so payload bytes shuffle at most once; the kernels
+preserve partitioning (no shuffle inside).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from blockchainspider_spark.functions.imagecodec import decode, phash64
+
+FEATURES_SCHEMA = (
+    "image_id string, w int, h int, mean_r double, mean_g double, mean_b double, "
+    "std_gray double, phash long"
+)
+
+RESIZE_SCHEMA = "image_id string, w int, h int, bytes binary"
+
+FRAME_SCHEMA = "video_id string, frame_idx int, w int, h int, bytes binary"
+
+
+def area_resize(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic area-average resample (uint8 HxWx3)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h + 1) * h // out_h).clip(0, h)
+    xs = (np.arange(out_w + 1) * w // out_w).clip(0, w)
+    out = np.zeros((out_h, out_w, 3), np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = pixels[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.reshape(-1, 3).mean(axis=0)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode + per-image feature vector (means, std, phash)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "w", "h", "mean_r", "mean_g",
+                                   "mean_b", "std_gray", "phash")}
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt).astype(np.float64)
+                gray = px @ np.array([0.299, 0.587, 0.114])
+                out["image_id"].append(r.image_id)
+                out["w"].append(px.shape[1])
+                out["h"].append(px.shape[0])
+                out["mean_r"].append(float(px[..., 0].mean()))
+                out["mean_g"].append(float(px[..., 1].mean()))
+                out["mean_b"].append(float(px[..., 2].mean()))
+                out["std_gray"].append(float(gray.std()))
+                out["phash"].append(phash64(px.astype(np.uint8)))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode → area resize → re-encode (png) — thumbnail stage."""
+    from blockchainspider_spark.functions.imagecodec import png_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "w", "h", "bytes")}
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                small = area_resize(px, out_w, out_h)
+                out["image_id"].append(r.image_id)
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["bytes"].append(png_encode(small))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+def make_raw_video(frames: list[np.ndarray]) -> bytes:
+    """Synthetic 'rawv' container: header + concatenated RGB frames."""
+    h, w, _ = frames[0].shape
+    return (
+        b"RAWV" + struct.pack(">HHI", w, h, len(frames))
+        + b"".join(f.tobytes() for f in frames)
+    )
+
+
+def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling over the synthetic raw container; one output row
+    per sampled frame. Real codecs would slot into ``_iter_frames``."""
+
+    def _iter_frames(data: bytes):
+        if data[:4] != b"RAWV":
+            raise NotImplementedError("real video codecs not available in this container")
+        w, h, n = struct.unpack(">HHI", data[4:12])
+        frame_sz = w * h * 3
+        for i in range(n):
+            chunk = data[12 + i * frame_sz: 12 + (i + 1) * frame_sz]
+            yield i, w, h, np.frombuffer(chunk, np.uint8).reshape(h, w, 3)
+
+    from blockchainspider_spark.functions.imagecodec import png_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("video_id", "frame_idx", "w", "h", "bytes")}
+            for r in pdf.itertuples(index=False):
+                for idx, w, h, frame in _iter_frames(bytes(r.bytes)):
+                    if idx % every_k:
+                        continue
+                    out["video_id"].append(r.video_id)
+                    out["frame_idx"].append(idx)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["bytes"].append(png_encode(frame))
+            yield pd.DataFrame(out)
+
+    return videos.select("video_id", "bytes").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def decode_audio(_audio: DataFrame) -> DataFrame:
+    """STUB: no audio decoder ships in this container. The Spark-side
+    contract (binary column in, (audio_id, sample_rate, n_samples,
+    pcm binary) out via mapInPandas) is fixed here for when one does."""
+    raise NotImplementedError("audio decoding requires a codec library not present")

@@ -18,7 +18,7 @@ def oracle_result(edges_pdf, source):
 
 @pytest.fixture(scope="module")
 def engine_run(spark, edges_df, images_df, source):
-    engine = BfsWaveEngine(spark, edges_df, images=images_df, max_depth=2)
+    engine = BfsWaveEngine(spark, edges_df, images=images_df, max_depth=2, lineage_detail=True)
     return engine.run(source)
 
 

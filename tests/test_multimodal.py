@@ -1,0 +1,41 @@
+"""Multimodal binary-column plumbing: features, resize, frame sampling."""
+
+import numpy as np
+import pytest
+
+from blockchainspider_spark.functions.imagecodec import png_decode
+from blockchainspider_spark.operators import multimodal as M
+
+
+def test_image_features(spark, images_df, images_pdf):
+    feats = {r.image_id: r for r in M.image_features(images_df).collect()}
+    assert len(feats) == len(images_pdf)
+    want = {r.image_id: r.phash for r in images_pdf.itertuples(index=False)}
+    got = {k: v.phash for k, v in feats.items()}
+    assert got == want, "kernel phash must match the stored fixture phash"
+    any_row = next(iter(feats.values()))
+    assert 0 <= any_row.mean_r <= 255 and any_row.std_gray > 0
+
+
+def test_resize_roundtrip(spark, images_df):
+    small = M.resize_images(images_df.limit(4), out_w=6, out_h=6).collect()
+    assert len(small) == 4
+    for r in small:
+        px = png_decode(bytes(r.bytes))
+        assert px.shape == (6, 6, 3)
+
+
+def test_video_frame_sampling(spark):
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 255, (8, 8, 3)).astype(np.uint8) for _ in range(7)]
+    video = M.make_raw_video(frames)
+    df = spark.createDataFrame([("v1", bytearray(video))], "video_id string, bytes binary")
+    out = M.sample_frames(df, every_k=2).collect()
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 2, 4, 6]
+    r0 = next(r for r in out if r.frame_idx == 0)
+    assert (png_decode(bytes(r0.bytes)) == frames[0]).all()
+
+
+def test_audio_stub_gated(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(None)

@@ -1,0 +1,110 @@
+"""Tail-follow cursor, retry waves, fetch cache, politeness, robots."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.engine.fetch_cache import CachedFetcher, fetch_with_retries
+from blockchainspider_spark.fixtures.chain import make_chain
+from blockchainspider_spark.streaming.tail_follow import TailFollowSource
+
+
+@pytest.fixture(scope="module")
+def blocks_df(spark):
+    blocks, *_ = make_chain(n_blocks=30, txs_per_block=2, seed=3)
+    return spark.createDataFrame(blocks)
+
+
+def test_tail_follow_advances_and_resumes(spark, blocks_df, tmp_path):
+    ckpt = str(tmp_path / "cursor.json")
+    head = {"h": 1_000_009}
+    src = TailFollowSource(blocks_df, lambda: head["h"], ckpt, start_block=1_000_000, max_batch=6)
+
+    b1 = src.poll()
+    assert [r.block_number for r in b1.collect()] == list(range(1_000_000, 1_000_006))
+    b2 = src.poll()
+    assert [r.block_number for r in b2.collect()] == list(range(1_000_006, 1_000_010))
+    assert src.poll() is None, "caught up with head"
+
+    head["h"] = 1_000_014
+    # simulate restart: new instance reads the checkpointed cursor
+    src2 = TailFollowSource(blocks_df, lambda: head["h"], ckpt, start_block=1_000_000, max_batch=6)
+    b3 = src2.poll()
+    assert [r.block_number for r in b3.collect()] == list(range(1_000_010, 1_000_015))
+
+
+def test_retry_waves(spark):
+    reqs = spark.createDataFrame([(i,) for i in range(10)], "req_id long")
+
+    def attempt_fn(batch, attempt):
+        # req_id % 3 == 0 succeed immediately; %3==1 succeed on attempt 1;
+        # %3==2 never succeed
+        return batch.withColumn(
+            "ok",
+            (F.col("req_id") % 3 == 0)
+            | ((F.col("req_id") % 3 == 1) & (F.lit(attempt) >= 1)),
+        )
+
+    out = fetch_with_retries(reqs, attempt_fn, max_retry=2).collect()
+    by_id = {r.req_id: r for r in out}
+    assert len(by_id) == 10
+    assert all(by_id[i].status == "ok" and by_id[i].attempts == 1 for i in (0, 3, 6, 9))
+    assert all(by_id[i].status == "ok" and by_id[i].attempts == 2 for i in (1, 4, 7))
+    assert all(by_id[i].status == "failed" for i in (2, 5, 8))
+
+
+def test_fetch_cache_hit_rate(spark):
+    calls = []
+
+    def fetch_fn(misses):
+        rows = misses.select("cache_key").collect()
+        calls.append(len(rows))
+        return spark.createDataFrame(
+            [(r.cache_key, f"resp:{r.cache_key}") for r in rows],
+            "cache_key string, response string",
+        )
+
+    fetcher = CachedFetcher(spark, fetch_fn)
+    r1 = fetcher.fetch(spark.createDataFrame([("a",), ("b",), ("c",)], "cache_key string"))
+    assert r1.count() == 3 and calls == [3]
+    assert fetcher.stats[-1].hit_rate == 0.0
+
+    r2 = fetcher.fetch(spark.createDataFrame([("b",), ("c",), ("d",)], "cache_key string"))
+    got = {r.cache_key: r.response for r in r2.collect()}
+    assert got == {"b": "resp:b", "c": "resp:c", "d": "resp:d"}
+    assert calls == [3, 1], "only the miss is fetched"
+    assert abs(fetcher.stats[-1].hit_rate - 2 / 3) < 1e-9
+
+
+def test_politeness_pacing(spark, edges_df, images_df, source):
+    """qps pacing must serialize same-host fetches: ≥ (n−1)/qps seconds."""
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+
+    hot = images_df.where(F.col("image_id").startswith("img://host-0/")).limit(6)
+    n = hot.count()
+    frontier = hot.select(
+        "node", F.lit(1).alias("depth"), F.lit(0).cast("long").alias("seq"),
+        F.lit(1).alias("wave"),
+    )
+    engine = BfsWaveEngine(spark, edges_df, images=images_df, qps=25.0, hot_host_salt=1)
+    t0 = time.monotonic()
+    rows = engine.fetch(frontier).collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == n
+    assert elapsed >= (n - 1) / 25.0, f"pacing violated: {elapsed:.3f}s for {n} fetches"
+
+
+def test_robots_gate(spark, edges_df, source, edges_pdf):
+    """Disallowed nodes never enter the frontier when the gate is on."""
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+    from blockchainspider_spark.oracle.crawl import run_crawl
+
+    plain = run_crawl(edges_pdf, source, "BFS", {"depth": 2})
+    blocked_node = sorted(plain.seen - {source})[0]
+    robots = spark.createDataFrame([(blocked_node,)], "node string")
+    engine = BfsWaveEngine(spark, edges_df, max_depth=2, robots_disallow=robots)
+    state, _, _ = engine.run(source, collect_transfers=False)
+    got_nodes = {n for _, n, _ in state.pop_log}
+    assert blocked_node not in got_nodes
+    assert source in got_nodes
