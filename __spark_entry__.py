@@ -57,10 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q, _ = build_suite()
     try:
+        from blockchainspider_spark.entry_crawl import build_crawl_suite
         from blockchainspider_spark.entry_dedup import build_dedup_suite
 
-        dq, _ = build_dedup_suite()
-        q.update(dq)
+        for build in (build_dedup_suite, build_crawl_suite):
+            extra, _ = build()
+            q.update(extra)
     except ImportError:
         pass
     return q
@@ -71,10 +73,12 @@ def oracle_sql() -> dict[str, str]:
 
     _, o = build_suite()
     try:
+        from blockchainspider_spark.entry_crawl import build_crawl_suite
         from blockchainspider_spark.entry_dedup import build_dedup_suite
 
-        _, do = build_dedup_suite()
-        o.update(do)
+        for build in (build_dedup_suite, build_crawl_suite):
+            _, extra = build()
+            o.update(extra)
     except ImportError:
         pass
     return o

@@ -1,0 +1,131 @@
+"""Gate queries for crawl-engine semantics over the driver tables.
+
+``crawl_bfs_pop_order`` has no SQL twin (FIFO tiebreak order is not
+relationally expressible) → rows-only check; the exact-order contract is
+enforced in tests/ against the sequential oracle instead. The haircut
+first-push, by contrast, is pure relational algebra and gets a DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.entry_queries import _bipartite_edges
+
+
+def _edges_as_transfers(spark, sf_dir):
+    e = _bipartite_edges(spark, sf_dir)
+    return e.select(
+        F.sha1(F.concat_ws("_", "src", "dst")).alias("id"),
+        F.lit("0x0").alias("hash"),
+        F.col("src").alias("address_from"),
+        F.col("dst").alias("address_to"),
+        F.lit("1").alias("value"),
+        F.lit("").alias("token_id"),
+        F.lit(0).cast("long").alias("timestamp"),
+        F.lit(0).cast("long").alias("block_number"),
+        F.lit("0x" + "0" * 40).alias("contract_address"),
+        F.lit("native").alias("symbol"),
+        F.lit(18).alias("decimals"),
+        F.lit("0").alias("gas"),
+        F.lit("0").alias("gas_price"),
+    ).dropDuplicates(["id"])
+
+
+def q_crawl_bfs_pop_order(spark, sf_dir):
+    """Distributed BFS crawl-order log (seq, node, depth) — rows-only:
+    the FIFO pop order is pinned against the oracle in tests, not SQL."""
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+
+    engine = BfsWaveEngine(spark, _edges_as_transfers(spark, sf_dir), max_depth=2)
+    state, _, _ = engine.run("c1", collect_transfers=False)
+    return spark.createDataFrame(
+        [(int(s), n, int(d)) for s, n, d in state.pop_log],
+        "seq long, node string, depth int",
+    )
+
+
+def q_strat_haircut_push(spark, sf_dir):
+    """Haircut first push from seed c1: weight scatter value/out_sum over
+    the seed's out-edges (strategy A1+A2 with real seed semantics)."""
+    e = _bipartite_edges(spark, sf_dir).withColumn("value", F.lit(1.0))
+    seed_edges = e.where(F.col("src") == "c1")
+    out_sum = seed_edges.agg(F.sum("value").alias("s")).select("s")
+    return (
+        seed_edges.crossJoin(F.broadcast(out_sum))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.round(F.sum(F.col("value") / F.col("s")), 6).alias("weight"))
+    )
+
+
+def q_strat_haircut_push_sql():
+    return """
+    WITH e AS (
+      SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst, 1.0 AS value
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    seed AS (SELECT * FROM e WHERE src = 'c1'),
+    s AS (SELECT sum(value) AS s FROM seed)
+    SELECT dst AS node, round(sum(value / s.s), 6) AS weight
+    FROM seed, s GROUP BY 1
+    """
+
+
+def q_strat_appr_degree_push(spark, sf_dir):
+    """APPR first push from c1: residual (1−α)/deg to each distinct
+    undirected neighbor; p gains α (A3 with real strategy constants)."""
+    e = _bipartite_edges(spark, sf_dir)
+    nbrs = (
+        e.where((F.col("src") == "c1") | (F.col("dst") == "c1"))
+        .select(F.explode(F.array("src", "dst")).alias("node"))
+        .where(F.col("node") != "c1")
+        .distinct()
+    )
+    deg = nbrs.agg(F.count("*").alias("d")).select("d")
+    return (
+        nbrs.crossJoin(F.broadcast(deg))
+        .select("node", F.round(F.lit(1 - 0.15) / F.col("d"), 6).alias("residual"))
+    )
+
+
+def q_strat_appr_degree_push_sql():
+    return """
+    WITH e AS (
+      SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nbrs AS (
+      SELECT DISTINCT u.node FROM e,
+        LATERAL (SELECT src AS node UNION ALL SELECT dst) u
+      WHERE (src = 'c1' OR dst = 'c1') AND u.node <> 'c1'
+    ),
+    deg AS (SELECT count(*) AS d FROM nbrs)
+    SELECT node, round(0.85 / d, 6) AS residual FROM nbrs, deg
+    """
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN (scale path) — rows-only: bucket recall is
+    an approximation by design; exactness is the brute-force twin
+    (sim_ann_topk), which has a SQL oracle."""
+    import os
+
+    from blockchainspider_spark.operators.dedup import ann_lsh_bucketed
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_lsh_bucketed(emb, n_queries=5, k=3, n_planes=6)
+
+
+def build_crawl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
+    queries, oracles = {}, {}
+    for name, fn in list(globals().items()):
+        if name.startswith("q_") and callable(fn) and not name.endswith("_sql"):
+            key = name[2:]
+            queries[key] = fn
+            sql_fn = globals().get(f"{name}_sql")
+            if sql_fn:
+                oracles[key] = sql_fn()
+    return queries, oracles

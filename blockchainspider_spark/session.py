@@ -27,6 +27,12 @@ def get_spark(
     real cluster (where ``master`` is supplied externally and must be
     passed as ``None``).
     """
+    # pin per-process BLAS threading: Python workers run one per task
+    # slot, and nested BLAS pools oversubscribe the box (measured: the
+    # payload kernel stops scaling entirely with default OpenBLAS threads)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = SparkSession.builder.appName(app_name)
     if master is None and not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

@@ -1,0 +1,71 @@
+"""Sink contracts (K1/K3/K4/K5) + exact-engine node_state checkpoints."""
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.operators import sinks as K
+
+
+def test_transfers_csv_contract(spark, edges_df, tmp_path):
+    path = str(tmp_path / "transfers")
+    K.write_transfers_csv(edges_df.limit(20), path)
+    files = glob.glob(os.path.join(path, "*.csv"))
+    assert files
+    header = open(files[0]).readline().strip().split(",")
+    assert header == sorted(c for c in edges_df.columns if c != "id")
+    assert "id" not in header
+
+
+def test_rank_csv_sorted_desc(spark, tmp_path):
+    ranks = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.5)], "node string, rank double"
+    )
+    path = str(tmp_path / "ranks")
+    K.write_rank_csv(ranks, path)
+    lines = open(glob.glob(os.path.join(path, "*.csv"))[0]).read().strip().splitlines()
+    assert [ln.split(",")[0] for ln in lines[1:]] == ["b", "c", "a"]
+
+
+def test_per_class_fanout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("TransactionItem", 1), ("BlockItem", 2), ("TransactionItem", 3)],
+        "item_class string, v int",
+    )
+    path = str(tmp_path / "classes")
+    K.write_per_class(df, "item_class", path)
+    assert os.path.isdir(os.path.join(path, "item_class=TransactionItem"))
+    assert os.path.isdir(os.path.join(path, "item_class=BlockItem"))
+
+
+def test_reports_jsonl(spark, tmp_path):
+    df = spark.createDataFrame([("u", "ETH-Like-address", "0xabc")], "url string, net string, value string")
+    path = str(tmp_path / "reports")
+    K.write_reports_jsonl(df.coalesce(1), path)
+    lines = [
+        ln
+        for f in glob.glob(os.path.join(path, "part-*.json"))
+        for ln in open(f).read().splitlines()
+        if ln.strip()
+    ]
+    assert json.loads(lines[0])["net"] == "ETH-Like-address"
+
+
+def test_exact_engine_state_checkpoints(spark, edges_df, source, tmp_path):
+    """node_state parquet written per wave; weights sum ≤ 1 (haircut)."""
+    import pandas as pd
+
+    from blockchainspider_spark.engine.exact import ExactCrawlEngine
+
+    ckpt = str(tmp_path / "state")
+    os.makedirs(ckpt, exist_ok=True)
+    engine = ExactCrawlEngine(spark, edges_df, "Haircut", {"min_weight": 1e-2},
+                              checkpoint_dir=ckpt)
+    engine.run(source, max_steps=5)
+    files = sorted(glob.glob(os.path.join(ckpt, "node_state_*.parquet")))
+    assert len(files) >= 2
+    last = pd.read_parquet(files[-1])
+    assert set(last.columns) == {"node", "r", "p"}
+    assert last["r"].sum() <= 1.0 + 1e-9

@@ -1,0 +1,102 @@
+"""spark-submit entrypoint for the crawl engine.
+
+Cluster usage (the north rule's execution mode):
+
+    cd /root/repo && zip -r /tmp/bss.zip blockchainspider_spark
+    spark-submit --py-files /tmp/bss.zip tools/submit_crawl.py \
+        --edges <parquet path> --images <parquet path> \
+        --source 0xSEED --strategy BFS --depth 2 \
+        --checkpoint /path/ckpt --out /path/out [--resume-wave K] [--qps 10]
+
+Local smoke (this sandbox):
+
+    python tools/submit_crawl.py --demo
+
+The script only uses ``SparkSession.builder.getOrCreate()`` — master,
+executor counts and memory come from spark-submit, so the same file runs
+at N and 4N executors unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges")
+    ap.add_argument("--images")
+    ap.add_argument("--source")
+    ap.add_argument("--strategy", default="BFS")
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--qps", type=float, default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--resume-wave", type=int, default=None)
+    ap.add_argument("--demo", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("bss-crawl").getOrCreate()
+
+    if args.demo:
+        from blockchainspider_spark.fixtures.generators import make_edges, make_images, node_address
+
+        edges = spark.createDataFrame(make_edges(60, 400, seed=42))
+        images = spark.createDataFrame(
+            make_images(image_ids=[node_address(i) for i in range(60)], seed=42)
+        )
+        source = node_address(0)
+    else:
+        edges = spark.read.parquet(args.edges)
+        images = spark.read.parquet(args.images) if args.images else None
+        source = args.source
+
+    if args.strategy == "BFS":
+        from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+
+        engine = BfsWaveEngine(
+            spark, edges, images=images, max_depth=args.depth,
+            checkpoint_dir=args.checkpoint, qps=args.qps, lineage_detail=True,
+        )
+        if args.resume_wave is not None:
+            state = engine.resume(args.resume_wave)
+            while state.frontier_size > 0 and state.wave <= args.depth:
+                state, _, _ = engine.run_wave(state)
+            emitted = fetched = None
+        else:
+            state, emitted, fetched = engine.run(source)
+        print(json.dumps({
+            "pops": len(state.pop_log),
+            "lineage": state.lineage,
+        }, default=str))
+        if args.out:
+            if emitted is not None:
+                emitted.write.mode("overwrite").parquet(os.path.join(args.out, "transfers"))
+            if fetched is not None:
+                fetched.write.mode("overwrite").parquet(os.path.join(args.out, "fetched"))
+            spark.createDataFrame(
+                [(int(s), n, int(d)) for s, n, d in state.pop_log],
+                "seq long, node string, depth int",
+            ).write.mode("overwrite").parquet(os.path.join(args.out, "pop_log"))
+    else:
+        from blockchainspider_spark.engine.exact import ExactCrawlEngine
+
+        engine = ExactCrawlEngine(
+            spark, edges, args.strategy, {"depth": args.depth},
+            checkpoint_dir=args.checkpoint,
+        )
+        result = engine.run(source, max_steps=10_000)
+        print(json.dumps({"pops": len(result.pop_log), "seen": len(result.seen)}))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
