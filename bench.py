@@ -88,6 +88,13 @@ def main():
     dq, _ = build_dedup_suite()
     queries.update(dq)
 
+    # warmup: JVM codegen, parquet footers, Python workers — outside timings
+    for t in ("lineitem", "orders", "documents", "embeddings", "events", "customer"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+    spark.range(2048).selectExpr("cast(id as string) as node").mapInPandas(
+        lambda it: it, "node string"
+    ).count()
+
     timings = {}
     for name in HEADLINE:
         fn = queries.get(name)

@@ -81,6 +81,7 @@ class BfsWaveEngine:
         robots_disallow: DataFrame | None = None,
         hot_host_salt: int = 4,
         lineage_detail: bool = False,
+        hooks=None,
     ):
         self.spark = spark
         self.edges = edges
@@ -92,6 +93,7 @@ class BfsWaveEngine:
         self.robots_disallow = robots_disallow
         self.hot_host_salt = hot_host_salt
         self.lineage_detail = lineage_detail
+        self.hooks = hooks  # engine/plugins.WaveHooks (X2/X3 surface)
         self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
         # endpoint-exploded edge view: turns the two-sided expand join J1
         # into one equi-join; persisted — every wave re-probes it. At
@@ -138,6 +140,8 @@ class BfsWaveEngine:
         ranked = expansions.withColumn("_erank", F.row_number().over(rank_w))
 
         emitted = expansions.select(*self.edges.columns).dropDuplicates(["id"])
+        if self.hooks is not None:
+            emitted = self.hooks.apply_transfers(emitted)
 
         candidates = (
             ranked.where(F.col("_pdepth") + 1 <= F.lit(self.max_depth))
@@ -198,6 +202,8 @@ class BfsWaveEngine:
         self._prev_seen = state.seen
 
         fetched = self.fetch(new_frontier) if self.images is not None else None
+        if fetched is not None and self.hooks is not None:
+            fetched = self.hooks.apply_fetched(fetched)
 
         n_new = len(new_rows)
         lineage_row = {

@@ -76,7 +76,9 @@ class ExactCrawlEngine:
         return pdf.rename(columns={"ts_edge": "timeStamp"})
 
     def run(self, source: str, max_steps: int | None = None) -> ExactCrawlResult:
-        model = VEC_REGISTRY[self.strategy_name](source, **self.params)
+        from blockchainspider_spark.engine.plugins import load_strategy
+
+        model = load_strategy(self.strategy_name)(source, **self.params)
         result = ExactCrawlResult()
         emitted: set = set()
         node, ctx, step = source, {}, 0

@@ -658,6 +658,30 @@ def q_f16_unixtime_sql():
     """
 
 
+def q_f15_json_parse(spark, sf_dir):
+    """F15/S8: schema'd JSON parsing of a payload column (from_json —
+    Arrow-free, JVM-side) + aggregation over the extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_f15_json_parse_sql():
+    return """
+    SELECT event_type, count(*) AS n,
+           sum(json_extract(props, '$.k')::INT) AS sum_k,
+           max(json_extract(props, '$.k')::INT) AS max_k
+    FROM events GROUP BY 1
+    """
+
+
 def q_f9_entity_extract(spark, sf_dir):
     """F9: regex entity extraction + explode (address/hash mining from
     page text) — long tokens as stand-in entities."""

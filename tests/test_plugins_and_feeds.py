@@ -1,0 +1,89 @@
+"""Plugin surfaces (X1-X3) + label-feed sources (S18/S19)."""
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.engine.plugins import WaveHooks, load_strategy
+from blockchainspider_spark.sources.feeds import parse_ofac_feed, parse_scamdb_feed
+
+
+def test_load_strategy_registry_and_dotted_path():
+    assert load_strategy("BFS").__name__ == "VecBfs"
+    cls = load_strategy("blockchainspider_spark.engine.strategies_vec:VecHaircut")
+    assert cls.__name__ == "VecHaircut"
+
+
+class _NoPush:
+    def pop(self):
+        return None, {}
+
+
+def test_load_strategy_contract_enforced():
+    import pytest
+
+    with pytest.raises(TypeError):
+        load_strategy(f"{_NoPush.__module__}:_NoPush")
+
+
+def test_custom_strategy_runs_in_exact_engine(spark, edges_df, source):
+    """A user-defined strategy (depth-1 out-neighbors only) plugs in by
+    dotted path — the reference's -a strategy= extension point."""
+    from blockchainspider_spark.engine.exact import ExactCrawlEngine
+
+    engine = ExactCrawlEngine(
+        spark, edges_df,
+        "tests.custom_strategy_fixture:OutOnlyOnce", {},
+    )
+    res = engine.run(source, max_steps=50)
+    assert res.pop_log[0][1] == source
+    assert all(ctx.get("depth", 0) <= 1 for _, _, ctx in res.pop_log)
+
+
+def test_wave_hooks_filter_transfers(spark, edges_df, images_df, source):
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+
+    hooks = WaveHooks(on_transfers=[lambda df: df.where(F.col("symbol") == "native")])
+    engine = BfsWaveEngine(spark, edges_df, max_depth=1, hooks=hooks)
+    _, emitted, _ = engine.run(source)
+    assert emitted.where(F.col("symbol") != "native").count() == 0
+    assert emitted.count() > 0
+
+
+def test_scamdb_feed_parse(spark):
+    doc = json.dumps({
+        "success": True,
+        "result": {
+            "bad.example": [
+                {"name": "bad", "url": "http://bad.example", "category": "Scam",
+                 "addresses": ["0xabc", "0xdef"]},
+            ],
+            "worse.example": [
+                {"name": "worse", "url": "http://worse.example", "category": "Phish",
+                 "addresses": []},
+            ],
+        },
+    })
+    df = spark.createDataFrame(pd.DataFrame({"doc": [doc]}))
+    rows = parse_scamdb_feed(spark, df).collect()
+    got = {(r.domain, r.address) for r in rows}
+    assert ("bad.example", "0xabc") in got and ("bad.example", "0xdef") in got
+    assert any(r.domain == "worse.example" and r.address is None for r in rows)
+
+
+def test_ofac_feed_parse(spark):
+    doc = json.dumps({
+        "sdnEntries": [{
+            "uid": "1", "firstName": "A", "lastName": "B",
+            "programs": ["CYBER"],
+            "digitalCurrencyAddresses": [
+                {"currency": "XBT", "address": "1Boat..."},
+                {"currency": "ETH", "address": "0xabc"},
+            ],
+        }],
+    })
+    df = spark.createDataFrame(pd.DataFrame({"doc": [doc]}))
+    rows = parse_ofac_feed(spark, df).collect()
+    assert {(r.currency, r.address) for r in rows} == {("XBT", "1Boat..."), ("ETH", "0xabc")}
+    assert rows[0].programs == "CYBER"

@@ -87,12 +87,15 @@ def run_level(ncpus: int) -> dict:
 
     t0 = time.monotonic()
     fresh = urls.join(seen, on="fingerprint", how="left_anti")
+    # one task per slot for the fetch stage: minimizes per-task fixed
+    # cost for the throughput measurement (with politeness ON you would
+    # partition by host_bucket instead, as engine/batch_bfs.fetch does;
+    # pacing is off here so even node-hash distribution is correct)
     sched = (
         fresh.groupBy("fingerprint")
         .agg(F.min(F.struct("seq", "node")).alias("k"))
         .select(F.col("k.node").alias("node"))
-        .withColumn("bucket", F.pmod(F.xxhash64("node"), F.lit(ncpus * 4)))
-        .repartition(ncpus * 2, "bucket")
+        .repartition(ncpus, "node")
     )
     n = sched.mapInPandas(fetch_kernel, FETCH_SCHEMA).count()
     wall = time.monotonic() - t0

@@ -1,0 +1,91 @@
+"""Physical-plan audit: verify the plans are the ones we want.
+
+Checks (and records to BENCH/EXPLAIN.md):
+* parquet scans carry PushedFilters + pruned ReadSchema (s1 scan)
+* dimension joins pick BroadcastHashJoin (j2)
+* aggregations are partial+final HashAggregate (a1)
+* the crawl expand join broadcasts the frontier; the seen anti-join is
+  a broadcast/shuffled hash anti join, and whole-stage codegen spans the
+  JVM-side pipeline.
+
+Exits non-zero if an assertion fails, so it doubles as a regression test
+(invoked from tests/test_plans.py with a tiny input).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    ) if False else df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
+    from blockchainspider_spark import entry_queries as Q
+
+    results = []
+
+    def check(name, df, must_contain):
+        plan = plan_of(df)
+        ok = all(any(tok in line for line in plan.splitlines()) for tok in must_contain)
+        results.append((name, plan, must_contain, ok))
+
+    check("s1_keyset_scan (pushdown + pruning)", Q.q_s1_keyset_scan(spark, sf_dir),
+          ["PushedFilters", "codegen id", "Scan parquet"])
+    check("j2_broadcast_enrich (broadcast dim joins)", Q.q_j2_broadcast_enrich(spark, sf_dir),
+          ["BroadcastHashJoin", "HashAggregate"])
+    check("a1_haircut_outsum (partial+final agg)", Q.q_a1_haircut_outsum(spark, sf_dir),
+          ["HashAggregate", "Exchange"])
+
+    # crawl engine plans
+    from pyspark.sql import functions as F
+
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+    from blockchainspider_spark.entry_crawl import _edges_as_transfers
+
+    edges = _edges_as_transfers(spark, sf_dir)
+    engine = BfsWaveEngine(spark, edges, max_depth=2)
+    state = engine.start("c1")
+    expand = engine._expand(state.frontier)  # noqa: SLF001
+    check("crawl expand join (broadcast frontier)", expand,
+          ["BroadcastHashJoin", "Scan"])
+    candidates = expand.select(
+        F.col("address_from").alias("child")
+    ).withColumn("fingerprint", F.sha1("child"))
+    anti = candidates.join(state.seen.select("fingerprint"), "fingerprint", "left_anti")
+    check("seen anti-join (hash anti join)", anti, ["LeftAnti"])
+    return results
+
+
+def main():
+    from blockchainspider_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit", master="local[4]",
+                      extra_conf={"spark.sql.shuffle.partitions": "8"})
+    spark.sparkContext.setLogLevel("ERROR")
+    results = audit(spark, sf_dir)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    ok_all = True
+    with open(os.path.join(repo, "BENCH", "EXPLAIN.md"), "w") as fh:
+        fh.write("# Physical-plan audit (`.explain('formatted')`)\n\n")
+        for name, plan, must, ok in results:
+            ok_all &= ok
+            fh.write(f"## {name} — {'OK' if ok else 'MISSING ' + str(must)}\n\n")
+            fh.write("```\n" + plan.strip()[:4000] + "\n```\n\n")
+            print(("OK  " if ok else "FAIL") + " " + name)
+    sys.exit(0 if ok_all else 1)
+
+
+if __name__ == "__main__":
+    main()
