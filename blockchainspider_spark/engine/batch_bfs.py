@@ -204,6 +204,20 @@ class BfsWaveEngine:
         fetched = self.fetch(new_frontier) if self.images is not None else None
         if fetched is not None and self.hooks is not None:
             fetched = self.hooks.apply_fetched(fetched)
+        if fetched is not None and self.lineage_detail:
+            # per-partition lineage (north rule): host bucket × depth with
+            # fetch-latency stats, folded into the wave's lineage record
+            host_rows = (
+                fetched.groupBy("host", "depth")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.round(F.avg("fetch_ms"), 3).alias("avg_fetch_ms"),
+                    F.round(F.max("fetch_ms"), 3).alias("max_fetch_ms"),
+                    F.min(F.col("psnr_ok").cast("int")).alias("all_psnr_ok"),
+                )
+                .collect()
+            )
+            self._host_lineage = [r.asDict() for r in host_rows]
 
         n_new = len(new_rows)
         lineage_row = {
@@ -215,6 +229,9 @@ class BfsWaveEngine:
         if n_candidates is not None:
             lineage_row["candidates"] = n_candidates
             lineage_row["dedup_hit_rate"] = (1 - n_new / n_candidates) if n_candidates else 0.0
+        if getattr(self, "_host_lineage", None):
+            lineage_row["hosts"] = self._host_lineage
+            self._host_lineage = None
         state.lineage.append(lineage_row)
 
         new_state = CrawlState(

@@ -719,16 +719,20 @@ def _bipartite_edges(spark, sf_dir):
 def q_crawl_bfs_seen(spark, sf_dir):
     """BFS depth-2 visited set (undirected ball) from seed c1 — the exact
     seen-set semantics of the BFS strategy, as level-wise anti-joins."""
-    edges = _bipartite_edges(spark, sf_dir).persist()
-    touch = edges.selectExpr("stack(2, src, dst) as endpoint", "src", "dst")
+    edges = _bipartite_edges(spark, sf_dir)
+    touch = edges.selectExpr("stack(2, src, dst) as endpoint", "src", "dst").persist()
     seed = spark.createDataFrame([("c1",)], "node string")
     d0 = seed
+    # materialize each level once (persist+count) so the next level's
+    # broadcast probe and the final union don't recompute the subplan
     d1 = (
         touch.join(F.broadcast(d0), touch.endpoint == d0.node)
         .selectExpr("stack(2, src, dst) as node")
         .distinct()
         .join(d0, on="node", how="left_anti")
+        .persist()
     )
+    d1.count()
     seen01 = d0.union(d1)
     d2 = (
         touch.join(F.broadcast(d1.withColumnRenamed("node", "hop")), touch.endpoint == F.col("hop"))

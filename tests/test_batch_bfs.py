@@ -63,6 +63,10 @@ def test_lineage_metrics(engine_run):
     for row in state.lineage:
         assert 0.0 <= row["dedup_hit_rate"] <= 1.0
         assert row["wall_sec"] > 0
+    # per-partition lineage: host bucket × depth with latency stats
+    hosts = state.lineage[0].get("hosts")
+    assert hosts and all(h["all_psnr_ok"] == 1 for h in hosts)
+    assert all(h["avg_fetch_ms"] > 0 for h in hosts)
 
 
 def test_checkpoint_resume(spark, edges_df, images_df, source, oracle_result, tmp_path):

@@ -1,0 +1,114 @@
+"""Property-based equivalence: vectorized kernels vs golden oracle on
+random graphs (no Spark — pure kernel surface, broad input coverage)."""
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from blockchainspider_spark.engine.strategies_vec import VEC_REGISTRY
+from blockchainspider_spark.oracle.crawl import STRATEGY_REGISTRY, adapt_edges
+
+NODES = [f"n{i}" for i in range(8)]
+
+
+@st.composite
+def edge_lists(draw):
+    n = draw(st.integers(3, 40))
+    rows = []
+    for i in range(n):
+        src = draw(st.sampled_from(NODES))
+        dst = draw(st.sampled_from([x for x in NODES if x != src]))
+        rows.append({
+            "id": f"e{i}",
+            "hash": f"h{draw(st.integers(0, 10))}",
+            "address_from": src,
+            "address_to": dst,
+            "value": f"{draw(st.integers(1, 1000))}.{draw(st.integers(0, 999)):03d}",
+            "token_id": "",
+            "timestamp": draw(st.integers(1, 50)),
+            "block_number": draw(st.integers(1, 20)),
+            "contract_address": "0x" + "0" * 40,
+            "symbol": draw(st.sampled_from(["native", "TOK1"])),
+            "decimals": 18,
+            "gas": "0",
+            "gas_price": "0",
+        })
+    return pd.DataFrame(rows)
+
+
+def _drive(strategy, params, edges_pdf, max_steps=60):
+    """Run oracle and vec kernel on the same canonical-order expansions."""
+    from blockchainspider_spark.oracle.crawl import CANONICAL_ORDER, EdgeIndex
+
+    index = EdgeIndex(edges_pdf)
+    oracle = STRATEGY_REGISTRY[strategy]("n0", **params)
+    vec = VEC_REGISTRY[strategy]("n0", **params)
+
+    def batch_of(node):
+        pdf = index.expand(node)
+        out = pd.DataFrame({
+            "id": pdf["id"].to_numpy(),
+            "hash": pdf["hash"].to_numpy(),
+            "from": pdf["address_from"].to_numpy(),
+            "to": pdf["address_to"].to_numpy(),
+            "value": pdf["value"].astype(float).to_numpy(),
+            "timeStamp": pdf["timestamp"].to_numpy(),
+            "symbol": (pdf["symbol"] + "_" + pdf["contract_address"]).to_numpy(),
+        })
+        return out
+
+    o_node, v_node, ctx_o, ctx_v = "n0", "n0", {}, {}
+    pops_o, pops_v = [], []
+    for _ in range(max_steps):
+        if o_node is None or v_node is None:
+            break
+        oracle.push(o_node, adapt_edges(index.expand(o_node)), **ctx_o)
+        vec.push(v_node, batch_of(v_node), **ctx_v)
+        o_node, ctx_o = oracle.pop()
+        v_node, ctx_v = vec.pop()
+        pops_o.append(o_node)
+        pops_v.append(v_node)
+        assert o_node == v_node, f"{strategy}: pop diverged {pops_o} vs {pops_v}"
+    # rank vectors close
+    ro, rv = oracle.ranks(), vec.ranks()
+    assert set(ro) == set(rv)
+    for k in ro:
+        assert math.isclose(ro[k], rv[k], rel_tol=1e-9, abs_tol=1e-12), (strategy, k)
+
+
+@settings(max_examples=25, deadline=None)
+@given(edges=edge_lists())
+def test_bfs_property(edges):
+    _drive("BFS", {"depth": 2}, edges)
+
+
+@settings(max_examples=25, deadline=None)
+@given(edges=edge_lists())
+def test_poison_property(edges):
+    _drive("Poison", {"depth": 3}, edges)
+
+
+@settings(max_examples=25, deadline=None)
+@given(edges=edge_lists())
+def test_haircut_property(edges):
+    _drive("Haircut", {"min_weight": 1e-3}, edges)
+
+
+@settings(max_examples=20, deadline=None)
+@given(edges=edge_lists())
+def test_appr_property(edges):
+    _drive("APPR", {"alpha": 0.15, "epsilon": 1e-3}, edges)
+
+
+@settings(max_examples=20, deadline=None)
+@given(edges=edge_lists())
+def test_ttrweight_property(edges):
+    _drive("TTRWeight", {"epsilon": 1e-2}, edges)
+
+
+@settings(max_examples=15, deadline=None)
+@given(edges=edge_lists())
+def test_ttrtime_property(edges):
+    _drive("TTRTime", {"epsilon": 1e-2}, edges)
