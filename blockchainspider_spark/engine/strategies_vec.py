@@ -355,18 +355,23 @@ class VecTtrTime(VecStrategy):
         self._seeded = True
         self.p.set(self.source, self.alpha)
         is_out = (batch["from"] == self.source).to_numpy()
-        is_in = (batch["to"] == self.source).to_numpy() & ~is_out
+        is_in_any = (batch["to"] == self.source).to_numpy()
         values = batch["value"].to_numpy(dtype=np.float64)
         ts = batch["timeStamp"].to_numpy(dtype=np.int64)
-        out_total, in_total = values[is_out].sum(), values[(batch["to"] == self.source).to_numpy()].sum()
+        out_total, in_total = values[is_out].sum(), values[is_in_any].sum()
         src = self._chips_of(self.source)
-        for flag, total, coeff in (
-            (is_out, out_total, (1 - self.alpha) * self.beta),
-            (is_in, in_total, (1 - self.alpha) * (1 - self.beta)),
-        ):
-            if total != 0:
-                for t, v in zip(ts[flag], values[flag]):
-                    src[int(t)] = coeff * v / total  # assignment quirk, see oracle
+        # per-edge assignment in EDGE order (from-branch first): chips at
+        # the same timestamp are overwritten by the LAST edge, so group
+        # order (all-out then all-in) would pick the wrong winner. This
+        # one-time seed loop is per-row by necessity; every later push is
+        # fully vectorized.
+        out_coeff = (1 - self.alpha) * self.beta
+        in_coeff = (1 - self.alpha) * (1 - self.beta)
+        for f_src, t_src, t, v in zip(is_out, is_in_any, ts, values):
+            if f_src and out_total != 0:
+                src[int(t)] = out_coeff * v / out_total
+            elif t_src and in_total != 0:
+                src[int(t)] = in_coeff * v / in_total
         if out_total == 0:
             src[0] = (1 - self.alpha) * self.beta
         if in_total == 0:
@@ -382,7 +387,9 @@ class VecTtrTime(VecStrategy):
         e_val = side["value"].to_numpy(dtype=np.float64)
         targets = side["to" if forward else "from"].to_numpy()
         c_items = sorted(chips.items())
-        c_ts = np.array([t for t, _ in c_items], dtype=np.float64)
+        # int64, NOT float64: the sys.maxsize sentinel chip (2^63-1) would
+        # round to 2^63 in a double and land on the wrong timestamp key
+        c_ts = np.array([t for t, _ in c_items], dtype=np.int64)
         c_val = np.array([v for _, v in c_items], dtype=np.float64)
 
         if len(c_items) == 0:
@@ -392,13 +399,13 @@ class VecTtrTime(VecStrategy):
             pos = np.searchsorted(e_ts, c_ts, side="right")
             suffix = np.concatenate([np.cumsum(e_val[::-1])[::-1], [0.0]])
             W = suffix[pos]
-            consumed = c_ts < (e_ts[-1] if len(e_ts) else -np.inf)
+            consumed = c_ts < (e_ts[-1] if len(e_ts) else np.iinfo(np.int64).min)
         else:
             # W[chip] = Σ value of edges strictly before the chip
             pos = np.searchsorted(e_ts, c_ts, side="left")
             prefix = np.concatenate([[0.0], np.cumsum(e_val)])
             W = prefix[pos]
-            consumed = c_ts > (e_ts[0] if len(e_ts) else np.inf)
+            consumed = c_ts > (e_ts[0] if len(e_ts) else np.iinfo(np.int64).max)
 
         contrib = np.where(W > 0, c_val / np.where(W > 0, W, 1.0), 0.0)
         if len(e_ts):
@@ -413,8 +420,10 @@ class VecTtrTime(VecStrategy):
             for tgt, t, v in zip(targets, e_ts, inc):
                 self._add_chip(tgt, int(t), float(v))
         # chips with no eligible edge recycle to the node itself
-        for t, v in zip(c_ts[~consumed], c_val[~consumed]):
-            self._add_chip(node, int(t) if t < 9e18 else int(t), coeff * float(v))
+        # (iterate the original int keys — no dtype round trips)
+        for keep, (t, v) in zip(~consumed, c_items):
+            if keep:
+                self._add_chip(node, t, coeff * float(v))
 
     def pop(self):
         best, best_v = None, self.epsilon

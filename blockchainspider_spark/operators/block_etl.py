@@ -146,6 +146,41 @@ def enrich_with_properties(token_transfers: DataFrame, contract_dim: DataFrame) 
     return token_transfers.join(F.broadcast(contract_dim), on="contract_address", how="left")
 
 
+def _fetch_token_uris(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """S15 stage 1: batched 'tokenURI/uri(tokenId)' calls — deterministic
+    fixture stand-in (ipfs:// URI derived from contract+token)."""
+    import hashlib
+
+    for pdf in batches:
+        yield pd.DataFrame({
+            "contract_address": pdf["contract_address"],
+            "token_id": pdf["token_id"],
+            "token_uri": [
+                "ipfs://" + hashlib.sha1(f"{c}/{t}".encode()).hexdigest()
+                for c, t in zip(pdf["contract_address"], pdf["token_id"])
+            ],
+        })
+
+
+def nft_metadata_enrich(nft_transfers: DataFrame) -> DataFrame:
+    """S15/J5/F13/F14: two-stage NFT metadata lookup — distinct
+    (contract, token_id) → batched tokenURI fetch → gateway URL rewrite
+    (ipfs:// → https://ipfs.io/ipfs/, reference metadata.py:87-93) +
+    zero-padded token word (metadata.py:133) → broadcast-join back onto
+    the transfer facts on (contract_address, token_id)."""
+    keys = nft_transfers.select("contract_address", "token_id").distinct()
+    uris = keys.mapInPandas(
+        _fetch_token_uris,
+        "contract_address string, token_id string, token_uri string",
+    )
+    dim = uris.select(
+        "contract_address", "token_id",
+        F.regexp_replace("token_uri", "^ipfs://", "https://ipfs.io/ipfs/").alias("metadata_url"),
+        F.lpad(F.lower(F.conv(F.col("token_id"), 10, 16)), 64, "0").alias("token_id_word"),
+    )
+    return nft_transfers.join(F.broadcast(dim), on=["contract_address", "token_id"], how="left")
+
+
 def created_contracts(receipts: DataFrame) -> DataFrame:
     """P10/S13: receipts that deployed a contract → code-scan work list."""
     return receipts.where(F.col("created_contract") != "").select(

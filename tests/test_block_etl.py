@@ -112,3 +112,15 @@ def test_priority_pagination_parity(chain):
     )
     got = [r.block_number for r in paged.collect()]
     assert got == sorted(got) and len(got) == 5
+
+
+def test_nft_metadata_enrichment(chain):
+    tt = E.token_transfers_from_logs(chain["logs"])
+    nft = tt.where(tt.standard == "erc721")
+    enriched = E.nft_metadata_enrich(nft)
+    rows = enriched.collect()
+    assert len(rows) == nft.count() > 0
+    for r in rows[:5]:
+        assert r.metadata_url.startswith("https://ipfs.io/ipfs/")
+        assert len(r.token_id_word) == 64
+        assert int(r.token_id_word, 16) == int(r.token_id)

@@ -1,0 +1,83 @@
+"""Image codec: PNG filter decode paths, lossy invariants, phash."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from blockchainspider_spark.functions import imagecodec as C
+
+
+def _png_with_filters(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-encode a PNG applying the given per-row filter types."""
+    h, w, _ = pixels.shape
+    assert len(filters) == h
+    px = pixels.astype(np.int32)
+    rows = []
+    for y in range(h):
+        line = px[y].reshape(-1)
+        prev = px[y - 1].reshape(-1) if y else np.zeros(w * 3, np.int32)
+        f = filters[y]
+        if f == 0:
+            enc = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(3, np.int32), line[:-3]])
+            enc = (line - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.int32), line[:-3]])
+            enc = (line - (left + prev) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(3, np.int32), line[:-3]])
+            ul = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = (line - pred) & 0xFF
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        C._PNG_SIG
+        + C._chunk(b"IHDR", ihdr)
+        + C._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + C._chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filters", [[1] * 6, [2] * 6, [3] * 6, [4] * 6, [0, 1, 2, 3, 4, 2]])
+def test_png_decode_all_filter_types(filters):
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 255, (6, 5, 3)).astype(np.uint8)
+    data = _png_with_filters(px, filters)
+    assert (C.png_decode(data) == px).all()
+
+
+def test_qjpeg_lossy_but_within_budget():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 255, (24, 24, 3)).astype(np.uint8)
+    dec = C.qjpeg_decode(C.qjpeg_encode(px))
+    assert (dec != px).any(), "codec must actually be lossy"
+    assert C.psnr(px, dec) >= 40.0
+
+
+def test_phash_locality():
+    """phash is stable under mild noise on textured images and far apart
+    for different images (smooth gradients are out of spec: their AC
+    coefficients sit at zero, so sign bits are noise-dominated)."""
+    from blockchainspider_spark.fixtures.generators import _pixels_for
+
+    rng = np.random.default_rng(7)
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    for key in ("img://host-0/a", "img://host-1/b"):
+        base = _pixels_for(key, 32, 32)
+        noisy = np.clip(base.astype(int) + rng.integers(-2, 3, base.shape), 0, 255).astype(np.uint8)
+        other = _pixels_for(key + "-different", 32, 32)
+        assert ham(C.phash64(base), C.phash64(noisy)) <= 8
+        assert ham(C.phash64(base), C.phash64(other)) >= 12
+
+
+def test_decode_unknown_format_gated():
+    with pytest.raises(NotImplementedError):
+        C.decode(b"xxxx", "webp")
