@@ -82,6 +82,7 @@ class BfsWaveEngine:
         hot_host_salt: int = 4,
         lineage_detail: bool = False,
         hooks=None,
+        use_bloom: bool = False,
     ):
         self.spark = spark
         self.edges = edges
@@ -94,6 +95,13 @@ class BfsWaveEngine:
         self.hot_host_salt = hot_host_salt
         self.lineage_detail = lineage_detail
         self.hooks = hooks  # engine/plugins.WaveHooks (X2/X3 surface)
+        # U5 two-phase seen-dedup: a broadcast Bloom over the seen
+        # fingerprints prunes the anti-join probe side (bloom-negative
+        # candidates are definitely fresh and skip the join); the exact
+        # anti-join stays authoritative for bloom-positives, so results
+        # are identical with the flag on or off — it only cuts shuffle.
+        self.use_bloom = use_bloom
+        self._bloom = None
         self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
         # endpoint-exploded edge view: turns the two-sided expand join J1
         # into one equi-join; persisted — every wave re-probes it. At
@@ -111,6 +119,11 @@ class BfsWaveEngine:
         ).persist()
         state = CrawlState(wave=0, frontier=frontier, seen=seen, frontier_size=1)
         state.pop_log.append((0, source, 0))
+        if self.use_bloom:
+            from blockchainspider_spark.functions.bloom import NumpyBloom
+
+            self._bloom = NumpyBloom(1_000_000, 1e-4)
+            self._bloom.add(seen.first().fingerprint)
         return state
 
     # ------------------------------------------------------------------ waves
@@ -164,9 +177,25 @@ class BfsWaveEngine:
             )
 
         n_candidates = candidates.count() if self.lineage_detail else None
-        fresh = candidates.join(
-            state.seen.select("fingerprint"), on="fingerprint", how="left_anti"
-        )
+        if self.use_bloom and self._bloom is not None:
+            bloom = self._bloom
+            from pyspark.sql.functions import pandas_udf
+            from pyspark.sql.types import BooleanType
+
+            @pandas_udf(BooleanType())
+            def maybe_seen(fps):
+                return bloom.might_contain_series(fps)
+
+            flagged = candidates.withColumn("_maybe", maybe_seen(F.col("fingerprint")))
+            definitely_fresh = flagged.where(~F.col("_maybe")).drop("_maybe")
+            survivors = flagged.where(F.col("_maybe")).drop("_maybe").join(
+                state.seen.select("fingerprint"), on="fingerprint", how="left_anti"
+            )
+            fresh = definitely_fresh.unionByName(survivors)
+        else:
+            fresh = candidates.join(
+                state.seen.select("fingerprint"), on="fingerprint", how="left_anti"
+            )
         first = fresh.groupBy("fingerprint").agg(
             F.min(F.struct("_pseq", "_erank", "slot",
                            F.col("child").alias("node"),
@@ -188,6 +217,8 @@ class BfsWaveEngine:
             .collect()
         )
         state.pop_log.extend((r.seq, r.node, r.depth) for r in new_rows)
+        if self.use_bloom and self._bloom is not None:
+            self._bloom.add_many(r.fingerprint for r in new_rows)
 
         # rebuild frontier + seen from driver rows → lineage stays flat
         new_frontier = self.spark.createDataFrame(

@@ -83,6 +83,39 @@ class ExactCrawlEngine:
         emitted: set = set()
         node, ctx, step = source, {}, 0
         result.pop_log.append((step, node, {}))
+        return self._drive(model, result, emitted, node, ctx, step, max_steps)
+
+    def resume_latest(self, max_steps: int | None = None) -> ExactCrawlResult:
+        """Resume from the newest strategy snapshot in checkpoint_dir."""
+        import glob
+
+        snaps = sorted(glob.glob(os.path.join(self.checkpoint_dir, "strategy_*.pkl")))
+        if not snaps:
+            raise FileNotFoundError(f"no strategy snapshots in {self.checkpoint_dir}")
+        step = int(os.path.basename(snaps[-1]).split("_")[1].split(".")[0])
+        return self.resume(step, max_steps=max_steps)
+
+    def resume(self, step: int, max_steps: int | None = None) -> ExactCrawlResult:
+        """Resume mid-crawl from the pickled wave snapshot ``step``: the
+        strategy state (residuals, visited sets, queues, caches) and the
+        crawl cursor restore exactly; the remaining waves replay on the
+        distributed edge table as usual."""
+        import pickle
+
+        with open(os.path.join(self.checkpoint_dir, f"strategy_{step:05d}.pkl"), "rb") as fh:
+            snap = pickle.load(fh)
+        model = snap["model"]
+        result = ExactCrawlResult(
+            pop_log=snap["pop_log"], emitted_ids=snap["emitted_ids"]
+        )
+        emitted = set(snap["emitted_ids"])
+        node, ctx = snap["next_node"], snap["next_ctx"]
+        if node is None:
+            result.ranks = dict(model.ranks())
+            return result
+        return self._drive(model, result, emitted, node, ctx, snap["step"] + 1, max_steps)
+
+    def _drive(self, model, result, emitted, node, ctx, step, max_steps):
         while node is not None:
             batch = self._expand(node)
             for tid in batch["id"]:
@@ -90,16 +123,32 @@ class ExactCrawlEngine:
                     emitted.add(tid)
                     result.emitted_ids.append(tid)
             model.push(node, batch, **ctx)
+            pushed_step = step
             if self.checkpoint_dir:
-                state = model.state_rows()
-                state.to_parquet(
-                    os.path.join(self.checkpoint_dir, f"node_state_{step:05d}.parquet")
+                model.state_rows().to_parquet(
+                    os.path.join(self.checkpoint_dir, f"node_state_{pushed_step:05d}.parquet")
                 )
             node, ctx = model.pop()
+            if node is not None:
+                step += 1
+                result.pop_log.append((step, node, dict(ctx)))
+            if self.checkpoint_dir:
+                import pickle
+
+                snap = {
+                    "step": pushed_step,
+                    "model": model,
+                    "pop_log": list(result.pop_log),
+                    "emitted_ids": list(result.emitted_ids),
+                    "next_node": node,
+                    "next_ctx": dict(ctx),
+                }
+                with open(
+                    os.path.join(self.checkpoint_dir, f"strategy_{pushed_step:05d}.pkl"), "wb"
+                ) as fh:
+                    pickle.dump(snap, fh)
             if node is None:
                 break
-            step += 1
-            result.pop_log.append((step, node, dict(ctx)))
             if max_steps is not None and step >= max_steps:
                 break
         result.ranks = dict(model.ranks())

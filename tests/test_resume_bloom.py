@@ -1,0 +1,46 @@
+"""Exact-engine mid-crawl resume + Bloom-prefiltered seen dedup."""
+
+import pytest
+
+from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+from blockchainspider_spark.engine.exact import ExactCrawlEngine
+
+
+@pytest.mark.parametrize("strategy,params", [
+    ("Haircut", {"min_weight": 1e-2}),
+    ("TTRWeight", {"epsilon": 5e-3}),
+    ("BFS", {"depth": 2}),
+])
+def test_exact_engine_resume_identical(spark, edges_df, source, tmp_path, strategy, params):
+    """Kill after wave k, resume from the snapshot: byte-identical final
+    pop log, emitted ids and ranks (the north rule's resume contract)."""
+    full = ExactCrawlEngine(spark, edges_df, strategy, params).run(source, max_steps=25)
+
+    ckpt = str(tmp_path / strategy)
+    import os
+
+    os.makedirs(ckpt, exist_ok=True)
+    engine = ExactCrawlEngine(spark, edges_df, strategy, params, checkpoint_dir=ckpt)
+    engine.run(source, max_steps=6)  # "crash" after step 6
+    resumed = engine.resume_latest(max_steps=25)
+
+    assert resumed.pop_log == full.pop_log
+    assert resumed.emitted_ids == full.emitted_ids
+    assert resumed.ranks.keys() == full.ranks.keys()
+    for k in full.ranks:
+        assert abs(resumed.ranks[k] - full.ranks[k]) <= 1e-12
+
+
+def test_bloom_prefilter_identical_crawl(spark, edges_df, source):
+    """use_bloom changes the physical plan (pre-filter before the exact
+    anti-join) but never the result."""
+    plain, _, _ = BfsWaveEngine(spark, edges_df, max_depth=2).run(
+        source, collect_transfers=False
+    )
+    bloomed, _, _ = BfsWaveEngine(spark, edges_df, max_depth=2, use_bloom=True).run(
+        source, collect_transfers=False
+    )
+    assert bloomed.pop_log == plain.pop_log
+    assert {r.fingerprint for r in bloomed.seen.collect()} == {
+        r.fingerprint for r in plain.seen.collect()
+    }
