@@ -27,6 +27,11 @@ def load_strategy(path_or_name: str):
     or a dotted path 'package.module:ClassName' (custom plugin)."""
     if path_or_name in VEC_REGISTRY:
         return VEC_REGISTRY[path_or_name]
+    if "." not in path_or_name and ":" not in path_or_name:
+        raise ValueError(
+            f"unknown strategy {path_or_name!r}: expected one of "
+            f"{sorted(VEC_REGISTRY)} or a dotted path 'pkg.module:Class'"
+        )
     module_name, _, cls_name = path_or_name.replace(":", ".").rpartition(".")
     module = importlib.import_module(module_name)
     cls = getattr(module, cls_name)

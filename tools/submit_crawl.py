@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--resume-wave", type=int, default=None)
     ap.add_argument("--demo", action="store_true")
     args = ap.parse_args()
+    if not args.demo and (not args.edges or not args.source):
+        ap.error("--edges and --source are required (or use --demo)")
 
     from pyspark.sql import SparkSession
 
