@@ -153,20 +153,37 @@ def cosine_pairs(
 ) -> DataFrame:
     """Brute-force cosine near-dup pairs (a < b). O(n²) baseline — the
     oracle-parity path; production path buckets by sign-LSH first."""
+    import numpy as np
+
     base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     if limit_ids is not None:
         base = base.where(F.col("vid") < limit_ids)
-    norm = base.withColumn(
-        "n", F.sqrt(F.aggregate(F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda s, x: s + x))
-    )
-    a = norm.select(F.col("vid").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = norm.select(F.col("vid").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+    # left side collected+broadcast as a matrix; each Arrow batch of the
+    # right side scores against it with one BLAS matmul (see ann_topk)
+    rows = base.collect()
+    ids = np.array([r.vid for r in rows])
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            c_ids = pdf["vid"].to_numpy()
+            cos = (mat @ c_mat.T) / (norms[:, None] * c_norm[None, :])
+            ai, bi = np.meshgrid(np.arange(len(ids)), np.arange(len(pdf)), indexing="ij")
+            out = pd.DataFrame({
+                "a": ids[ai.ravel()],
+                "b": c_ids[bi.ravel()],
+                "cosine": np.round(cos.ravel(), 6),
+            })
+            yield out[(out["a"] < out["b"]) & (out["cosine"] >= threshold)]
+
+    return base.mapInPandas(score, "a long, b long, cosine double")
 
 
 def ann_topk(
@@ -174,20 +191,39 @@ def ann_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force cosine top-k per query vector (ANN baseline);
-    deterministic tiebreak on neighbor id."""
+    deterministic tiebreak on neighbor id.
+
+    Physical shape: the (small) query matrix is collected once and
+    closed over into a mapInPandas kernel; each Arrow batch of
+    candidates is scored against ALL queries with one BLAS matmul —
+    the vectorized scale path (no per-element lambda interpretation,
+    no |queries|×|candidates| row explosion before the top-k)."""
+    import numpy as np
+
     base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
-    norm = base.withColumn(
-        "n", F.sqrt(F.aggregate(F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda s, x: s + x))
-    )
-    q = norm.where(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), F.col("v").alias("vq"), F.col("n").alias("nq")
-    )
-    c = norm.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vc"), F.col("n").alias("nc"))
-    dot = F.aggregate(F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    scored = (
-        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(dot / (F.col("nq") * F.col("nc")), 6).alias("cosine"))
-    )
+    q_rows = base.where(F.col("vid") < n_queries).collect()
+    q_ids = np.array([r.vid for r in q_rows])
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            cos = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
+            qi, ci = np.meshgrid(np.arange(len(q_ids)), np.arange(len(pdf)), indexing="ij")
+            out = pd.DataFrame({
+                "query_id": q_ids[qi.ravel()],
+                "neighbor_id": pdf["vid"].to_numpy()[ci.ravel()],
+                "cosine": np.round(cos.ravel(), 6),
+            })
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = base.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 

@@ -1,0 +1,81 @@
+"""Structured Streaming windowed aggregation vs its batch twin."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.streaming.windowed import (
+    run_available_now,
+    stream_events,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_dir(tmp_path) -> str:
+    """File stream sources need a directory; stage the events parquet."""
+    import shutil
+
+    d = tmp_path / "events_src"
+    d.mkdir(exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    src = _events_dir(tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = stream_events(spark, src, EVENTS_SCHEMA)
+    assert stream.isStreaming
+    result = windowed_event_counts(stream)
+    run_available_now(result, out, ckpt)
+
+    got = (
+        spark.read.parquet(out)
+        .select("window_start", "event_type", "n", "sum_value")
+        .collect()
+    )
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .collect()
+    )
+    key = lambda r: (r.window_start, r.event_type)
+    got_map = {key(r): (r.n, r.sum_value) for r in got}
+    want_map = {key(r): (r.n, r.sum_value) for r in batch}
+    # append mode holds back windows still inside the watermark horizon
+    # (they'd emit on the next batch) — emitted windows must match the
+    # batch twin exactly; the held-back ones must all be trailing windows
+    assert len(got_map) > 0
+    for k, v in got_map.items():
+        assert want_map[k] == v
+    held_back = set(want_map) - set(got_map)
+    import datetime
+
+    max_ts = max(r.window_start for r in batch)
+    horizon = max_ts - datetime.timedelta(hours=3)
+    assert all(ws >= horizon for ws, _ in held_back), held_back
+
+
+def test_stream_resumes_from_offsets(spark, tmp_path):
+    """Second availableNow run over the same checkpoint reads nothing new
+    (offset tracking — the streaming analog of the tail-follow cursor)."""
+    src = _events_dir(tmp_path)
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = windowed_event_counts(stream_events(spark, src, EVENTS_SCHEMA))
+    run_available_now(stream, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    run_available_now(
+        windowed_event_counts(stream_events(spark, src, EVENTS_SCHEMA)), out, ckpt
+    )
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0, "no duplicate output on restart with same offsets"
