@@ -44,12 +44,10 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 4) -> DataFrame:
     """Distinct k-char shingles per doc (higher-order transform, no UDF).
     DuckDB twin: list comprehension [substr(text,i,k) for i in range(...)]."""
-    arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
-        lambda i: F.substring_index(F.lit(""), "", 1),  # placeholder, replaced below
+    arr = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> substring({text_col}, i, {k}))"
     )
-    # F.substring doesn't accept a Column start pre-3.4 idiom; use expr:
-    arr = F.expr(f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), i -> substring({text_col}, i, {k}))")
     return df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(arr)).alias("shingle"),
