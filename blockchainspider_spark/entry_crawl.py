@@ -119,6 +119,45 @@ def q_sim_ann_lsh(spark, sf_dir):
     return ann_lsh_bucketed(emb, n_queries=5, k=3, n_planes=6)
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (deterministic coarse quantizer → per-cell top-k),
+    nprobe=1 — full SQL oracle since the quantizer is fixed."""
+    import os
+
+    from blockchainspider_spark.operators.dedup import ann_ivf
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_ivf(emb, n_centroids=8, n_queries=3, k=2)
+
+
+def q_sim_ann_ivf_sql():
+    return """
+    WITH base AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vid AS cid, v AS cv FROM base WHERE vid < 8),
+    cells AS (
+      SELECT vid, v, cid,
+             round(list_sum(list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d2
+      FROM base, cent
+    ),
+    assigned AS (
+      SELECT vid, v, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rk
+        FROM cells) t
+      WHERE rk = 1
+    ),
+    q AS (SELECT vid AS query_id, v AS vq, cell FROM assigned WHERE vid < 3),
+    scored AS (
+      SELECT q.query_id, c.vid AS neighbor_id, q.cell,
+             round(list_cosine_similarity(q.vq, c.v), 6) AS cosine
+      FROM q JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vid
+    )
+    SELECT query_id, neighbor_id, cell, cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored) t
+    WHERE rk <= 2
+    """
+
+
 def build_crawl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

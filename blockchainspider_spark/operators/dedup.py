@@ -226,6 +226,48 @@ def ann_topk(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def ann_ivf(
+    emb: DataFrame, n_centroids: int = 8, n_queries: int = 3, k: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer cells + search within the probed
+    cell only. The quantizer here is deterministic (centroids = the
+    first ``n_centroids`` vectors) so an exact SQL oracle exists; the
+    production path would train centroids offline (k-means) and keep
+    the same two-stage plan: assign (small broadcast join) → per-cell
+    top-k. nprobe=1: recall traded for a |cells|× candidate cut."""
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    cent = base.where(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x
+    )
+    scored_cells = base.crossJoin(F.broadcast(cent)).select(
+        "vid", "v", "cid", F.round(dist, 6).alias("d2")
+    )
+    w_assign = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("cid"))
+    assigned = (
+        scored_cells.withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vid", "v", F.col("cid").alias("cell"))
+    )
+    q = assigned.where(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("vq"), F.col("cell")
+    )
+    c = assigned.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vc"), "cell")
+    dot = F.aggregate(F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    nq = F.sqrt(F.aggregate(F.expr("transform(vq, x -> x * x)"), F.lit(0.0), lambda s, x: s + x))
+    nc = F.sqrt(F.aggregate(F.expr("transform(vc, x -> x * x)"), F.lit(0.0), lambda s, x: s + x))
+    scored = (
+        F.broadcast(q).join(c, on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cell", F.round(dot / (nq * nc), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
 def ann_lsh_bucketed(
     emb: DataFrame, n_queries: int = 5, k: int = 3, n_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -79,3 +79,38 @@ def test_stream_resumes_from_offsets(spark, tmp_path):
     )
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 > 0, "no duplicate output on restart with same offsets"
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState: seen-set state persists across micro-batches
+    (maxFilesPerTrigger=1 forces two batches with overlapping users)."""
+    import pandas as pd
+
+    from blockchainspider_spark.streaming.stateful import first_seen_dedup
+
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    base = pd.read_parquet("/root/testdata/sf0.001/events.parquet").head(200)
+    first = base.head(120)
+    second = base.tail(120)  # overlaps rows 80-119 with `first`
+    first.to_parquet(src / "a.parquet")
+    second.to_parquet(src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = first_seen_dedup(stream, "event_id")
+    out, ckpt = str(tmp_path / "dout"), str(tmp_path / "dckpt")
+    q = (
+        deduped.writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert sorted(ids) == sorted(set(base["event_id"])), "each key exactly once"
+    progress = q.recentProgress
+    assert len([p for p in progress if p["numInputRows"] > 0]) >= 2, "state crossed batches"
