@@ -108,3 +108,38 @@ def test_robots_gate(spark, edges_df, source, edges_pdf):
     got_nodes = {n for _, n, _ in state.pop_log}
     assert blocked_node not in got_nodes
     assert source in got_nodes
+
+
+def test_politeness_budget_does_not_change_order(spark, edges_df, images_df, source):
+    """North rule: crawl order + seen set match under the same politeness
+    budget — pacing throttles wall-clock only, never scheduling."""
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+
+    fast, _, _ = BfsWaveEngine(spark, edges_df, images=images_df, max_depth=1).run(source)
+    slow, _, _ = BfsWaveEngine(
+        spark, edges_df, images=images_df, max_depth=1, qps=50.0
+    ).run(source)
+    assert fast.pop_log == slow.pop_log
+    assert {r.node for r in fast.seen.collect()} == {r.node for r in slow.seen.collect()}
+
+
+def test_hot_host_salting_splits_partitions(spark, edges_df, images_df):
+    """Skew mitigation: the hot host's fetches spread over >1 salt bucket."""
+    from pyspark.sql import functions as F
+
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+
+    engine = BfsWaveEngine(spark, edges_df, images=images_df, hot_host_salt=4)
+    frontier = images_df.where(F.col("image_id").startswith("img://host-0/")).select(
+        "node", F.lit(1).alias("depth"), F.lit(0).cast("long").alias("seq"),
+        F.lit(1).alias("wave"),
+    )
+    payload = frontier.join(engine.images, on="node", how="inner")
+    host = F.regexp_extract("image_id", r"img://([^/]+)/", 1)
+    salt = F.when(
+        host == "host-0", F.pmod(F.xxhash64("image_id"), F.lit(engine.hot_host_salt))
+    ).otherwise(F.lit(0))
+    buckets = payload.withColumn(
+        "host_bucket", F.concat_ws("#", host, salt.cast("string"))
+    ).select("host_bucket").distinct().count()
+    assert buckets >= 2, "hot host must salt across multiple buckets"
