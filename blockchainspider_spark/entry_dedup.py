@@ -275,11 +275,16 @@ def q_t2_quality_score(spark, sf_dir):
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "row", "data", "value")))
     n = F.size(toks)
+    # +1e-9 nudge before rounding: the score grid contains exact
+    # half-of-1e-6 values (integer length/count ratios), where a 1-ulp
+    # cross-engine summation difference would flip round(…,6); the nudge
+    # (mirrored in the SQL oracle) moves both engines off the boundary
     score = (
         F.round(
             0.5 * (stop / n)
             + 0.3 * F.least(F.length("text") / 400.0, F.lit(1.0))
-            + 0.2 * F.least((F.length("text") / n) / 8.0, F.lit(1.0)),
+            + 0.2 * F.least((F.length("text") / n) / 8.0, F.lit(1.0))
+            + 1e-9,
             6,
         )
     )
@@ -297,7 +302,8 @@ def q_t2_quality_score_sql():
     SELECT doc_id, n_tokens,
            round(0.5 * (n_stop::DOUBLE / n_tokens)
                + 0.3 * least(len(text) / 400.0, 1.0)
-               + 0.2 * least((len(text)::DOUBLE / n_tokens) / 8.0, 1.0), 6) AS quality
+               + 0.2 * least((len(text)::DOUBLE / n_tokens) / 8.0, 1.0)
+               + 1e-9, 6) AS quality
     FROM t
     """
 
