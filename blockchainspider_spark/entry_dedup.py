@@ -154,11 +154,11 @@ def q_d4_simhash_sql():
       FROM toks WHERE tok <> ''
     ),
     votes AS (
-      SELECT doc, pos, sum(((h >> pos) & 1) * 2 - 1) AS vote
+      SELECT doc, pos, CAST(sum(((h >> pos) & 1) * 2 - 1) AS BIGINT) AS vote
       FROM hashed, (SELECT unnest(range(0, 16)) AS pos)
       GROUP BY 1, 2
     )
-    SELECT doc, sum(CASE WHEN vote > 0 THEN (1::BIGINT << pos) ELSE 0 END) AS simhash
+    SELECT doc, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << pos) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY 1
     """
 
@@ -250,10 +250,13 @@ def q_t1_token_stats(spark, sf_dir):
         F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("word_tokens"),
         F.length("text").alias("chars"),
     )
+    # .cast("long") / ::BIGINT on both engines: DuckDB sum(INTEGER)
+    # widens to HUGEINT, which the driver's value-hash renders
+    # differently from Spark's bigint
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum("ws_tokens").alias("sum_ws_tokens"),
-        F.sum("word_tokens").alias("sum_word_tokens"),
+        F.sum("ws_tokens").cast("long").alias("sum_ws_tokens"),
+        F.sum("word_tokens").cast("long").alias("sum_word_tokens"),
         F.round(F.avg("chars"), 6).alias("avg_chars"),
     )
 
@@ -261,8 +264,8 @@ def q_t1_token_stats(spark, sf_dir):
 def q_t1_token_stats_sql():
     return """
     SELECT lang, count(*) AS n_docs,
-           sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS sum_ws_tokens,
-           sum(len(regexp_extract_all(text, '[a-z]+'))) AS sum_word_tokens,
+           CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_word_tokens,
            round(avg(len(text)), 6) AS avg_chars
     FROM documents GROUP BY 1
     """

@@ -666,9 +666,12 @@ def q_f15_json_parse(spark, sf_dir):
         "event_type",
         F.from_json(F.col("props"), "k int").getField("k").alias("k"),
     )
+    # DuckDB's sum(INTEGER) yields HUGEINT (int128, surfaced as Decimal);
+    # the driver's hash normalization renders that differently from Spark's
+    # bigint.  Cast to 64-bit on BOTH engines so the value hashes agree.
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("k").alias("sum_k"),
+        F.sum("k").cast("long").alias("sum_k"),
         F.max("k").alias("max_k"),
     )
 
@@ -676,7 +679,7 @@ def q_f15_json_parse(spark, sf_dir):
 def q_f15_json_parse_sql():
     return """
     SELECT event_type, count(*) AS n,
-           sum(json_extract(props, '$.k')::INT) AS sum_k,
+           CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
            max(json_extract(props, '$.k')::INT) AS max_k
     FROM events GROUP BY 1
     """

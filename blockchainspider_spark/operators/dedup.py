@@ -138,10 +138,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         )
         .withColumn("bit", F.expr("shiftright(h, pos) & 1"))
         .groupBy("doc", "pos")
-        .agg(F.sum(F.col("bit") * 2 - 1).alias("vote"))
+        .agg(F.sum(F.col("bit") * 2 - 1).cast("long").alias("vote"))
     )
+    # explicit 64-bit sums: the DuckDB oracle's sum(BIGINT) widens to
+    # int128 (HUGEINT) — both engines cast to bigint for hash parity
     return votes.groupBy("doc").agg(
-        F.sum(F.expr("CASE WHEN vote > 0 THEN shiftleft(1L, pos) ELSE 0L END")).alias("simhash")
+        F.sum(F.expr("CASE WHEN vote > 0 THEN shiftleft(1L, pos) ELSE 0L END"))
+        .cast("long")
+        .alias("simhash")
     )
 
 

@@ -20,8 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def norm_cell(v):
+    import decimal
+
     if v is None:
         return "\\N"
+    if isinstance(v, decimal.Decimal):
+        # DuckDB HUGEINT/DECIMAL surfaces as Decimal; the driver's
+        # normalization renders it differently from int/float, which is
+        # exactly how r01's f15/d4/t1 failed hash_match while this
+        # replica passed.  Render distinctly so the local gate fails too.
+        return f"DECIMAL:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "\\N"
