@@ -70,7 +70,7 @@ def crawl_bench(spark) -> tuple[float, float, int]:
     t0 = time.monotonic()
     state, _, _ = engine.run("c1", collect_transfers=False)
     wall = time.monotonic() - t0
-    n = len(state.pop_log)
+    n = state.next_seq  # pops assigned (seq 0..n-1) — no driver collect needed
     edges.unpersist()
     return n / wall, wall, n
 

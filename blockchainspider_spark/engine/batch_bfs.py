@@ -24,37 +24,44 @@ Per wave:
 5. **checkpoint** — frontier/seen/lineage parquet snapshot per wave;
    ``resume()`` restarts mid-crawl from any wave.
 
-Execution-cost discipline: exactly ONE action per wave (the ordered
-collect of the new frontier — which is small by definition); everything
-else stays lazy. The frontier is rebuilt from the collected rows so its
-lineage never deepens; ``seen`` is persisted per wave and unpersisted
-behind itself (parquet-truncated when checkpointing).
+Execution-cost discipline: the new frontier NEVER touches the driver.
+``seq`` is assigned distributed (engine/distseq.py: range sort →
+per-partition counts → offset prefix sums → per-partition row_number);
+the driver materializes only one count row per partition. Each wave's
+pops are written as a parquet table (``pop_log/wave=N``) — reading that
+back gives the next frontier with flat lineage — and the pop log is
+exposed as a DataFrame (``CrawlState.pop_log_df``); the list form
+(``.pop_log``) is a convenience property that collects on access.
 
 Scale design (100 TB / 10^10-URL frontier): the only per-wave shuffles
 are the expand join (avoidable by bucketing edges on ``endpoint``), the
-per-parent rank window, and the seen anti-join (hash-partitioned on the
+per-parent rank window, the seen anti-join (hash-partitioned on the
 fingerprint; a Bloom pre-filter — functions/bloom.py — cuts the probe
-side before the exact join). The frontier is broadcast only while small
-(``broadcast_frontier``), else it joins shuffle-side with AQE skew
-split. ``seq`` assignment sorts only the *new* nodes of one wave.
+side before the exact join), and the two seq-assignment exchanges. The
+frontier is broadcast only while small (``broadcast_frontier``), else
+it joins shuffle-side with AQE skew split. Driver memory per wave is
+O(n_partitions), not O(frontier) — ``driver_rows_collected`` counts it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from blockchainspider_spark.engine.distseq import assign_global_seq
 from blockchainspider_spark.functions.fingerprint import node_fingerprint
 from blockchainspider_spark.functions.payload import FETCH_RESULT_SCHEMA, make_fetch_kernel
 from blockchainspider_spark.operators.transfers import CANONICAL_ORDER_COLS, endpoint_exploded
 
 FRONTIER_SCHEMA = "node string, depth int, seq long, wave int"
 SEEN_SCHEMA = "fingerprint string, node string, wave int"
+POP_SCHEMA = "node string, depth int, seq long, wave int, fingerprint string"
 
 
 @dataclass
@@ -63,8 +70,19 @@ class CrawlState:
     frontier: DataFrame           # nodes to expand this wave
     seen: DataFrame               # (fingerprint, node, wave)
     frontier_size: int
-    pop_log: list = field(default_factory=list)   # (seq, node, depth)
+    next_seq: int                 # pops assigned so far (seq values 0..next_seq-1)
+    pop_log_df: DataFrame         # (node, depth, seq, wave, fingerprint) parquet-backed
     lineage: list = field(default_factory=list)   # per-wave metrics dicts
+
+    @property
+    def pop_log(self) -> list[tuple[int, str, int]]:
+        """Ordered pop log as (seq, node, depth) tuples. Collects the
+        parquet-backed log to the driver — a deliberate user action for
+        tests/small crawls, never required by the engine itself."""
+        return [
+            (r.seq, r.node, r.depth)
+            for r in self.pop_log_df.select("seq", "node", "depth").orderBy("seq").collect()
+        ]
 
 
 class BfsWaveEngine:
@@ -103,6 +121,14 @@ class BfsWaveEngine:
         self.use_bloom = use_bloom
         self._bloom = None
         self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # pop-log parquet lives under the checkpoint dir when given, else
+        # a scratch dir; either way scheduling state is disk/DataFrame
+        # resident, never a driver list
+        self._work_dir = checkpoint_dir or tempfile.mkdtemp(prefix="bfswave-")
+        # scale guard: every row the scheduler materializes on the driver
+        # (per-partition count rows only); tests assert this stays
+        # O(n_partitions) even when a wave carries tens of thousands of URLs
+        self.driver_rows_collected = 0
         # endpoint-exploded edge view: turns the two-sided expand join J1
         # into one equi-join; persisted — every wave re-probes it. At
         # cluster scale, bucket the underlying table by `endpoint` so
@@ -112,18 +138,27 @@ class BfsWaveEngine:
 
     # ------------------------------------------------------------------ setup
 
+    def _pop_wave_dir(self, wave: int) -> str:
+        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+
     def start(self, source: str) -> CrawlState:
-        frontier = self.spark.createDataFrame([(source, 0, 0, 0)], FRONTIER_SCHEMA)
-        seen = frontier.select(
-            node_fingerprint(F.col("node")).alias("fingerprint"), "node", "wave"
-        ).persist()
-        state = CrawlState(wave=0, frontier=frontier, seen=seen, frontier_size=1)
-        state.pop_log.append((0, source, 0))
+        seed = self.spark.createDataFrame([(source, 0, 0, 0)], FRONTIER_SCHEMA).select(
+            "node", "depth", "seq", "wave",
+            node_fingerprint(F.col("node")).alias("fingerprint"),
+        )
+        seed.write.mode("overwrite").parquet(self._pop_wave_dir(0))
+        pops = self.spark.read.parquet(self._pop_wave_dir(0))
+        frontier = pops.select("node", "depth", "seq", "wave")
+        seen = pops.select("fingerprint", "node", "wave").persist()
+        state = CrawlState(
+            wave=0, frontier=frontier, seen=seen, frontier_size=1,
+            next_seq=1, pop_log_df=pops,
+        )
         if self.use_bloom:
             from blockchainspider_spark.functions.bloom import NumpyBloom
 
             self._bloom = NumpyBloom(1_000_000, 1e-4)
-            self._bloom.add(seen.first().fingerprint)
+            self._bloom.union_from_dataframe(pops, "fingerprint")
         return state
 
     # ------------------------------------------------------------------ waves
@@ -201,33 +236,41 @@ class BfsWaveEngine:
                            F.col("child").alias("node"),
                            (F.col("_pdepth") + 1).alias("depth"))).alias("k")
         )
-        order_w = Window.orderBy(F.col("k._pseq"), F.col("k._erank"), F.col("k.slot"))
-        base_seq = state.pop_log[-1][0] if state.pop_log else 0
 
-        # THE one action of the wave: ordered collect of the (small) new frontier
-        new_rows = (
-            first.withColumn("rn", F.row_number().over(order_w))
-            .select(
-                F.col("k.node").alias("node"),
-                F.col("k.depth").cast("int").alias("depth"),
-                (F.lit(base_seq) + F.col("rn")).alias("seq"),
-                "fingerprint",
-            )
-            .orderBy("seq")
-            .collect()
+        # distributed seq assignment: range sort on the first-enqueue key
+        # + per-partition row_number with prefix-sum offsets. The driver
+        # sees only one count row per partition — a 10^8-row wave costs
+        # the same driver memory as a 10-row wave.
+        keyed = first.select(
+            F.col("k._pseq").alias("_k_pseq"),
+            F.col("k._erank").alias("_k_erank"),
+            F.col("k.slot").alias("_k_slot"),
+            F.col("k.node").alias("node"),
+            F.col("k.depth").cast("int").alias("depth"),
+            "fingerprint",
         )
-        state.pop_log.extend((r.seq, r.node, r.depth) for r in new_rows)
-        if self.use_bloom and self._bloom is not None:
-            self._bloom.add_many(r.fingerprint for r in new_rows)
+        assignment = assign_global_seq(
+            keyed, ["_k_pseq", "_k_erank", "_k_slot"],
+            base_seq=state.next_seq - 1, n_partitions=self.n_shuffle,
+        )
+        self.driver_rows_collected += assignment.driver_rows
+        n_new = assignment.total
 
-        # rebuild frontier + seen from driver rows → lineage stays flat
-        new_frontier = self.spark.createDataFrame(
-            [(r.node, r.depth, r.seq, wave) for r in new_rows], FRONTIER_SCHEMA
-        )
-        new_seen_rows = self.spark.createDataFrame(
-            [(r.fingerprint, r.node, wave) for r in new_rows], SEEN_SCHEMA
-        )
-        new_seen = state.seen.unionByName(new_seen_rows).persist()
+        # persist this wave's pops as a parquet table (the pop log) and
+        # read it back: flat lineage, zero frontier rows on the driver
+        assignment.df.select(
+            "node", "depth", "seq", F.lit(wave).alias("wave"), "fingerprint"
+        ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
+        assignment.cleanup()
+        wave_pops = self.spark.read.parquet(self._pop_wave_dir(wave))
+
+        if self.use_bloom and self._bloom is not None and n_new:
+            self._bloom.union_from_dataframe(wave_pops, "fingerprint")
+
+        new_frontier = wave_pops.select("node", "depth", "seq", "wave")
+        new_seen = state.seen.unionByName(
+            wave_pops.select("fingerprint", "node", "wave")
+        ).persist()
         if self._prev_seen is not None:
             self._prev_seen.unpersist()
         self._prev_seen = state.seen
@@ -250,7 +293,6 @@ class BfsWaveEngine:
             )
             self._host_lineage = [r.asDict() for r in host_rows]
 
-        n_new = len(new_rows)
         lineage_row = {
             "wave": wave,
             "frontier_in": state.frontier_size,
@@ -270,7 +312,8 @@ class BfsWaveEngine:
             frontier=new_frontier,
             seen=new_seen,
             frontier_size=n_new,
-            pop_log=state.pop_log,
+            next_seq=state.next_seq + n_new,
+            pop_log_df=state.pop_log_df.unionByName(wave_pops),
             lineage=state.lineage,
         )
         if self.checkpoint_dir:
@@ -330,16 +373,23 @@ class BfsWaveEngine:
         state.seen.repartitionByRange(self.n_shuffle, "fingerprint").write.mode(
             "overwrite"
         ).parquet(os.path.join(d, "seen"))
+        # scalar metadata only — the pop log itself is the parquet table
+        # under pop_log/wave=*, written distributed during run_wave
         with open(os.path.join(d, "meta.json"), "w") as fh:
             json.dump(
                 {
                     "wave": state.wave,
                     "frontier_size": state.frontier_size,
-                    "pop_log": state.pop_log,
+                    "next_seq": state.next_seq,
                     "lineage": state.lineage,
                 },
                 fh,
             )
+
+    def _pop_log_upto(self, wave: int) -> DataFrame:
+        paths = [self._pop_wave_dir(i) for i in range(wave + 1)
+                 if os.path.exists(self._pop_wave_dir(i))]
+        return self.spark.read.parquet(*paths)
 
     def _reload(self, wave: int) -> CrawlState:
         d = self._wave_dir(wave)
@@ -350,7 +400,8 @@ class BfsWaveEngine:
             frontier=self.spark.read.parquet(os.path.join(d, "frontier")),
             seen=self.spark.read.parquet(os.path.join(d, "seen")),
             frontier_size=meta["frontier_size"],
-            pop_log=[tuple(x) for x in meta["pop_log"]],
+            next_seq=meta["next_seq"],
+            pop_log_df=self._pop_log_upto(meta["wave"]),
             lineage=meta["lineage"],
         )
 

@@ -16,12 +16,16 @@ fingerprint → seen anti-join → ordered next frontier. Label reports
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Iterator
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from blockchainspider_spark.engine.distseq import assign_global_seq
 
 from blockchainspider_spark.functions.fingerprint import canonicalize_url
 from blockchainspider_spark.functions.textual import (
@@ -79,24 +83,50 @@ class WebCrawlState:
     wave: int
     frontier: DataFrame            # (url, depth, seq)
     seen: DataFrame                # (fingerprint)
-    fetch_log: list = field(default_factory=list)
+    frontier_size: int
+    next_seq: int
+    fetch_log_df: DataFrame        # (url, depth, seq, wave, fingerprint), parquet-backed
     reports: DataFrame | None = None
+
+    @property
+    def fetch_log(self) -> list[tuple[int, str, int]]:
+        """Ordered fetch log as (seq, url, depth). Collects on access —
+        a test/driver convenience, never engine-internal."""
+        return [
+            (r.seq, r.url, r.depth)
+            for r in self.fetch_log_df.select("seq", "url", "depth").orderBy("seq").collect()
+        ]
 
 
 class WebCrawlEngine:
-    def __init__(self, spark: SparkSession, pages: DataFrame, max_depth: int = 3):
+    def __init__(self, spark: SparkSession, pages: DataFrame, max_depth: int = 3,
+                 work_dir: str | None = None):
         self.spark = spark
         self.pages = pages.select("url", "html")
         self.max_depth = max_depth
+        self._work_dir = work_dir or tempfile.mkdtemp(prefix="webcrawl-")
+        self.driver_rows_collected = 0
+
+    def _wave_dir(self, wave: int) -> str:
+        return os.path.join(self._work_dir, "fetch_log", f"wave={wave:05d}")
 
     def start(self, source: str) -> WebCrawlState:
-        frontier = self.spark.createDataFrame([(source, 0, 0)], "url string, depth int, seq long")
-        seen = frontier.select(request_fp(F.col("url")).alias("fingerprint"))
-        state = WebCrawlState(wave=0, frontier=frontier, seen=seen)
-        state.fetch_log.append((0, source, 0))
-        return state
+        seed = self.spark.createDataFrame(
+            [(source, 0, 0, 0)], "url string, depth int, seq long, wave int"
+        ).withColumn("fingerprint", request_fp(F.col("url")))
+        seed.write.mode("overwrite").parquet(self._wave_dir(0))
+        pops = self.spark.read.parquet(self._wave_dir(0))
+        return WebCrawlState(
+            wave=0,
+            frontier=pops.select("url", "depth", "seq"),
+            seen=pops.select("fingerprint"),
+            frontier_size=1,
+            next_seq=1,
+            fetch_log_df=pops,
+        )
 
     def run_wave(self, state: WebCrawlState) -> WebCrawlState:
+        wave = state.wave + 1
         fetched = state.frontier.join(self.pages, on="url", how="left")
 
         reports = fetched.mapInPandas(_parse_reports, REPORTS_SCHEMA)
@@ -106,10 +136,12 @@ class WebCrawlEngine:
 
         if state.frontier.select(F.min("depth")).first()[0] + 1 > self.max_depth:
             return WebCrawlState(
-                wave=state.wave + 1,
+                wave=wave,
                 frontier=self.spark.createDataFrame([], "url string, depth int, seq long"),
                 seen=state.seen,
-                fetch_log=state.fetch_log,
+                frontier_size=0,
+                next_seq=state.next_seq,
+                fetch_log_df=state.fetch_log_df,
                 reports=all_reports,
             )
 
@@ -120,26 +152,33 @@ class WebCrawlEngine:
             F.min(F.struct("parent_seq", "pos", F.col("link").alias("url"),
                            (F.col("depth") + 1).alias("d"))).alias("k")
         )
-        w = Window.orderBy(F.col("k.parent_seq"), F.col("k.pos"))
-        base_seq = state.fetch_log[-1][0]
-        new_frontier = first.withColumn("rn", F.row_number().over(w)).select(
-            F.col("k.url").alias("url"),
-            F.col("k.d").cast("int").alias("depth"),
-            (F.lit(base_seq) + F.col("rn")).alias("seq"),
+        # distributed seq: range sort + per-partition row_number (see
+        # engine/distseq) — no global window, no frontier rows on the driver
+        keyed = first.select(
+            F.col("k.parent_seq").alias("_k_pseq"), F.col("k.pos").alias("_k_pos"),
+            F.col("k.url").alias("url"), F.col("k.d").cast("int").alias("depth"),
             "fingerprint",
         )
-        rows = new_frontier.select("seq", "url", "depth").orderBy("seq").collect()
-        state.fetch_log.extend((r.seq, r.url, r.depth) for r in rows)
+        assignment = assign_global_seq(keyed, ["_k_pseq", "_k_pos"],
+                                       base_seq=state.next_seq - 1)
+        self.driver_rows_collected += assignment.driver_rows
+        assignment.df.select(
+            "url", "depth", "seq", F.lit(wave).alias("wave"), "fingerprint"
+        ).write.mode("overwrite").parquet(self._wave_dir(wave))
+        assignment.cleanup()
+        pops = self.spark.read.parquet(self._wave_dir(wave))
         return WebCrawlState(
-            wave=state.wave + 1,
-            frontier=new_frontier.select("url", "depth", "seq"),
-            seen=state.seen.unionByName(new_frontier.select("fingerprint")),
-            fetch_log=state.fetch_log,
+            wave=wave,
+            frontier=pops.select("url", "depth", "seq"),
+            seen=state.seen.unionByName(pops.select("fingerprint")),
+            frontier_size=assignment.total,
+            next_seq=state.next_seq + assignment.total,
+            fetch_log_df=state.fetch_log_df.unionByName(pops),
             reports=all_reports,
         )
 
     def run(self, source: str) -> WebCrawlState:
         state = self.start(source)
-        while state.frontier.limit(1).count() > 0:
+        while state.frontier_size > 0:
             state = self.run_wave(state)
         return state

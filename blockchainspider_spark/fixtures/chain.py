@@ -8,10 +8,14 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-# public event-signature topics (ERC-20/721/1155 standards)
-TOPIC_TRANSFER = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
-TOPIC_1155_SINGLE = "0xc3d58168c5ae7397731d063d5bbf3d657854427343f4c083240f7aacaa2d0f62"
-TOPIC_1155_BATCH = "0x4a39dc06d4c0dbc64b70af90fd698a233a518aa5d07e595d983b8c0526c8f7fb"
+# public event-signature topics (ERC-20/721/1155 standards), derived
+# with our own keccak-256 rather than hardcoded (values: 0xddf252ad…,
+# 0xc3d58168…, 0x4a39dc06… — pinned in tests/test_traces_abi.py)
+from blockchainspider_spark.functions.keccak import event_topic
+
+TOPIC_TRANSFER = event_topic("Transfer(address,address,uint256)")
+TOPIC_1155_SINGLE = event_topic("TransferSingle(address,address,address,uint256,uint256)")
+TOPIC_1155_BATCH = event_topic("TransferBatch(address,address,address,uint256[],uint256[])")
 TOPIC_OTHER = "0x" + "ab" * 32
 
 

@@ -45,3 +45,29 @@ class NumpyBloom:
 
     def might_contain_series(self, keys: pd.Series) -> pd.Series:
         return keys.map(self.might_contain)
+
+    def union_from_dataframe(self, df, col: str) -> None:
+        """Distributed bulk insert: each partition builds a local bit
+        array over its keys (executor-side), the driver ORs the partial
+        arrays together. Driver traffic is bounded by
+        ``n_partitions × n_bits/8`` bytes — independent of row count —
+        so the bloom stays usable at 10^8-row waves where a per-key
+        driver loop (``add_many``) would not."""
+        n_bits, k, nbytes = self.n_bits, self.k, len(self.bits)
+
+        def build(batches):
+            local = np.zeros(nbytes, dtype=np.uint8)
+            seen_any = False
+            for pdf in batches:
+                for key in pdf[col]:
+                    d = hashlib.md5(str(key).encode()).digest()
+                    h1 = int.from_bytes(d[:8], "big")
+                    h2 = int.from_bytes(d[8:], "big") | 1
+                    idx = (h1 + np.arange(k, dtype=np.uint64) * np.uint64(h2)) % np.uint64(n_bits)
+                    np.bitwise_or.at(local, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+                    seen_any = True
+            if seen_any:
+                yield pd.DataFrame({"bits": [local.tobytes()]})
+
+        for r in df.select(col).mapInPandas(build, "bits binary").collect():
+            self.bits |= np.frombuffer(r["bits"], dtype=np.uint8)

@@ -56,8 +56,69 @@ def test_uint256_exact_decode():
     assert out.tolist() == [str(big), "0", "0"]
 
 
-def test_keccak_and_abi_gated():
-    with pytest.raises(NotImplementedError):
-        abi.keccak_selector("name()")
-    with pytest.raises(NotImplementedError):
-        abi.abi_decode_series(["uint256"], pd.Series([b"\x00"]))
+def _w(v: int) -> bytes:
+    return v.to_bytes(32, "big")
+
+
+def test_keccak_selectors_match_known_vectors():
+    """F8: the exact selectors the reference derives with Web3.keccak
+    (utils/token.py:110,143) — canonical ERC20 values."""
+    assert abi.keccak_selector("name()") == "0x06fdde03"
+    assert abi.keccak_selector("symbol()") == "0x95d89b41"
+    assert abi.keccak_selector("decimals()") == "0x313ce567"
+    assert abi.keccak_selector("totalSupply()") == "0x18160ddd"
+    assert abi.keccak_selector("transfer(address,uint256)") == "0xa9059cbb"
+
+
+def test_keccak_event_topics_match_dispatch_constants():
+    """P6: topic0 constants (reference utils/token.py:9-14) derive from
+    our keccak rather than being copied."""
+    assert abi.keccak_topic("Transfer(address,address,uint256)") == (
+        "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+    )
+    assert abi.keccak_topic("ApprovalForAll(address,address,bool)") == (
+        "0x17307eab39ab6107e8899845ad3d59bd9653f200f220920489ca2b5937696c31"
+    )
+
+
+def test_abi_decode_static_tuple():
+    data = _w(123456) + _w(0xABCDEF) + _w(1)
+    got = abi.abi_decode(["uint256", "uint256", "bool"], data)
+    assert got == (123456, 0xABCDEF, True)
+
+
+def test_abi_decode_address_and_bytes32():
+    addr = "0x" + "ab" * 20
+    data = _w(int(addr, 16)) + b"MKR".ljust(32, b"\x00")
+    got = abi.abi_decode(["address", "bytes32"], data)
+    assert got[0] == addr
+    assert got[1].rstrip(b"\x00") == b"MKR"
+
+
+def test_abi_decode_negative_int():
+    data = _w((1 << 256) - 5)  # -5 two's complement
+    assert abi.abi_decode(["int256"], data) == (-5,)
+
+
+def test_abi_decode_dynamic_string():
+    """The reference's token-name decode: parse_bytes_data(data, ['string'])
+    (web3.py:44-61)."""
+    payload = _w(0x20) + _w(7) + b"Uniswap".ljust(32, b"\x00")
+    assert abi.abi_decode(["string"], payload) == ("Uniswap",)
+    assert abi.abi_decode_hex(["string"], "0x" + payload.hex()) == ("Uniswap",)
+    assert abi.abi_decode_hex(["string"], "0x") is None
+    assert abi.abi_decode_hex(["string"], None) is None
+
+
+def test_abi_decode_uint_array_and_mixed():
+    # (uint256, uint256[]) — dynamic tail after static head
+    arr = [7, 8, 9]
+    data = _w(42) + _w(0x40) + _w(len(arr)) + b"".join(_w(x) for x in arr)
+    got = abi.abi_decode(["uint256", "uint256[]"], data)
+    assert got == (42, [7, 8, 9])
+
+
+def test_abi_decode_series_batched():
+    payload = _w(0x20) + _w(3) + b"abc".ljust(32, b"\x00")
+    out = abi.abi_decode_series(["string"], pd.Series([payload, payload]))
+    assert list(out) == [("abc",), ("abc",)]

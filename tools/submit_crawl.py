@@ -75,7 +75,7 @@ def main():
         else:
             state, emitted, fetched = engine.run(source)
         print(json.dumps({
-            "pops": len(state.pop_log),
+            "pops": state.next_seq,
             "lineage": state.lineage,
         }, default=str))
         if args.out:
@@ -83,10 +83,11 @@ def main():
                 emitted.write.mode("overwrite").parquet(os.path.join(args.out, "transfers"))
             if fetched is not None:
                 fetched.write.mode("overwrite").parquet(os.path.join(args.out, "fetched"))
-            spark.createDataFrame(
-                [(int(s), n, int(d)) for s, n, d in state.pop_log],
-                "seq long, node string, depth int",
-            ).write.mode("overwrite").parquet(os.path.join(args.out, "pop_log"))
+            # pop log is already a distributed DataFrame — write it
+            # directly, never through a driver list
+            state.pop_log_df.select("seq", "node", "depth").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(args.out, "pop_log"))
     else:
         from blockchainspider_spark.engine.exact import ExactCrawlEngine
 
