@@ -696,6 +696,54 @@ def q_f9_entity_extract(spark, sf_dir):
     )
 
 
+def q_f9b_checksum_extract(spark, sf_dir):
+    """F9 (validated form): plant one deterministic BTC address per doc —
+    even doc_ids carry a correct base58check checksum, odd doc_ids a
+    corrupted one — then run the real extract+validate kernel
+    (base58check ≅ bitcoin.is_address, reference web.py:94-97). Only the
+    valid half must survive; the oracle knows the ground truth by
+    construction, so a validator bug on either side breaks the match."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select("doc_id")
+
+    def kernel(batches):
+        import pandas as pd
+
+        from blockchainspider_spark.fixtures.generators import btc_address
+        from blockchainspider_spark.functions.textual import extract_entities
+
+        for pdf in batches:
+            out = {"net": [], "value": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                text = f"pay {btc_address(i, valid=(i % 2 == 0))} today"
+                for net, val in extract_entities(text):
+                    out["net"].append(net)
+                    out["value"].append(val)
+            yield pd.DataFrame(out)
+
+    return (
+        d.mapInPandas(kernel, "net string, value string")
+        .groupBy("net", "value")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_f9b_checksum_extract_sql():
+    from blockchainspider_spark.fixtures.generators import btc_address
+
+    rows = ", ".join(
+        f"({i}, '{btc_address(i, valid=(i % 2 == 0))}', {'TRUE' if i % 2 == 0 else 'FALSE'})"
+        for i in range(50)
+    )
+    return f"""
+    WITH planted(doc_id, addr, ok) AS (VALUES {rows})
+    SELECT 'BTC-Like-address' AS net, addr AS value, count(*) AS n
+    FROM planted
+    WHERE ok AND doc_id IN (SELECT doc_id FROM documents WHERE doc_id < 50)
+    GROUP BY 1, 2
+    """
+
+
 def q_f9_entity_extract_sql():
     return """
     SELECT entity, count(*) AS n_mentions

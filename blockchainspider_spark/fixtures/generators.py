@@ -158,9 +158,27 @@ def make_images(
     return pd.DataFrame(rows)
 
 
+def btc_address(idx: int, valid: bool = True) -> str:
+    """Deterministic base58check P2PKH address for fixture #idx; with
+    ``valid=False`` the checksum bytes are corrupted — a planted negative
+    the extractor must reject (reference validates via bitcoin.is_address)."""
+    raw = b"\x00" + hashlib.sha1(f"btc-{idx}".encode()).digest()
+    checksum = hashlib.sha256(hashlib.sha256(raw).digest()).digest()[:4]
+    if not valid:
+        checksum = bytes(b ^ 0xFF for b in checksum)
+    n = int.from_bytes(raw + checksum, "big")
+    alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(alphabet[r])
+    return "1" + "".join(reversed(out))
+
+
 def make_web_pages(n_pages: int = 40, seed: int = 42, n_hosts: int = 4) -> pd.DataFrame:
     """Synthetic page graph with messy URLs (exercise canonicalization),
-    embedded ETH/BTC-like entities, and relative + absolute hrefs."""
+    embedded ETH/BTC entities — including checksum-broken BTC negatives
+    the validator must drop — and relative + absolute hrefs."""
     rng = np.random.default_rng(seed + 2)
     hosts = [f"Host{k}.Example.COM" for k in range(n_hosts)]
     urls = []
@@ -180,9 +198,11 @@ def make_web_pages(n_pages: int = 40, seed: int = 42, n_hosts: int = 4) -> pd.Da
             else:
                 links.append(f'<a href="{urls[li]}">abs</a>')
         eth = "0x" + hashlib.sha1(f"eth-{i}".encode()).hexdigest()[:40]
+        btc = btc_address(i, valid=(i % 2 == 0))  # odd pages: broken checksum
         html = (
             "<html><style>p {}</style><script>var x=1;</script>"
-            f"<p>report address {eth} and tx 0x{hashlib.sha256(str(i).encode()).hexdigest()}</p>"
+            f"<p>report address {eth} or {btc} and tx "
+            f"0x{hashlib.sha256(str(i).encode()).hexdigest()}</p>"
             + "".join(links)
             + "</html>"
         )

@@ -26,6 +26,48 @@ BTC_ADDR_RE = re.compile(r"\W([13][a-km-zA-HJ-NP-Z1-9]{25,34})")
 BTC_TX_RE = re.compile(r"\W([0-9a-f]{64})", re.IGNORECASE | re.ASCII)
 _TOKEN_RE = re.compile(r"[a-zA-Z]{2,}")
 
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+_B58_INDEX = {c: i for i, c in enumerate(_B58_ALPHABET)}
+
+
+def is_btc_address(addr: str) -> bool:
+    """Base58Check validation (version byte + 20-byte hash + 4-byte
+    double-SHA256 checksum) — the semantics of the reference's
+    ``bitcoin.is_address`` (web.py:6,97), stdlib-only."""
+    import hashlib
+
+    n = 0
+    for ch in addr:
+        d = _B58_INDEX.get(ch)
+        if d is None:
+            return False
+        n = n * 58 + d
+    n_zeros = len(addr) - len(addr.lstrip("1"))
+    body = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    raw = b"\x00" * n_zeros + body
+    if len(raw) != 25:  # version + hash160 + checksum
+        return False
+    checksum = hashlib.sha256(hashlib.sha256(raw[:-4]).digest()).digest()[:4]
+    return checksum == raw[-4:]
+
+
+def is_eth_address(addr: str) -> bool:
+    """EIP-55 validation (Web3.isAddress semantics, web.py:108): uniform
+    case always passes; mixed case must match the keccak checksum."""
+    if not re.fullmatch(r"0x[0-9a-fA-F]{40}", addr or ""):
+        return False
+    hexpart = addr[2:]
+    lower, upper = hexpart.lower(), hexpart.upper()
+    if hexpart == lower or hexpart == upper:
+        return True
+    from blockchainspider_spark.functions.keccak import keccak256_hex
+
+    digest = keccak256_hex(lower)
+    for c, h in zip(hexpart, digest):
+        if c.isalpha() and (int(h, 16) >= 8) != c.isupper():
+            return False
+    return True
+
 
 def strip_html(html: str) -> str:
     """Reference web.py:48-50: drop <style>/<script> blocks, then tags."""
@@ -51,11 +93,13 @@ def extract_script_srcs(base_url: str, html: str) -> list[str]:
 
 def extract_entities(text: str) -> list[tuple[str, str]]:
     """(net, value) pairs in reference emission order: BTC addr, ETH addr,
-    BTC tx, ETH tx (web.py:116-176). BTC checksum validation is replaced
-    by the shape regex (base58 lib not in container)."""
+    BTC tx, ETH tx (web.py:116-176). Addresses are checksum-validated —
+    base58check for BTC (≅ bitcoin.is_address, web.py:97), EIP-55 for ETH
+    (≅ Web3.isAddress, web.py:108); tx hashes are shape-only, matching
+    the reference."""
     found: list[tuple[str, str]] = []
-    found += [("BTC-Like-address", a) for a in BTC_ADDR_RE.findall(text)]
-    found += [("ETH-Like-address", a) for a in ETH_ADDR_RE.findall(text)]
+    found += [("BTC-Like-address", a) for a in BTC_ADDR_RE.findall(text) if is_btc_address(a)]
+    found += [("ETH-Like-address", a) for a in ETH_ADDR_RE.findall(text) if is_eth_address(a)]
     found += [("BTC-Like-transaction", t) for t in BTC_TX_RE.findall(text)]
     found += [("ETH-Like-transaction", t) for t in ETH_TX_RE.findall(text)]
     return found

@@ -69,6 +69,37 @@ def test_lineage_metrics(engine_run):
     assert all(h["avg_fetch_ms"] > 0 for h in hosts)
 
 
+def test_big_wave_never_lands_on_driver(spark):
+    """Scale contract: a wave whose frontier is far larger than any
+    sensible driver collect must keep the scheduler's driver
+    materialization at O(n_partitions) count rows (the distributed seq
+    path — no global window, no frontier collect)."""
+    import pandas as pd
+
+    n_children = 20_000
+    edges = pd.DataFrame({
+        "id": [f"e{i}" for i in range(n_children)],
+        "hash": "0xh",
+        "address_from": "0xseed",
+        "address_to": [f"0xchild{i:06d}" for i in range(n_children)],
+        "value": "1", "token_id": "",
+        "timestamp": range(n_children), "block_number": range(n_children),
+        "contract_address": "0x" + "0" * 40, "symbol": "native",
+        "decimals": 18, "gas": "0", "gas_price": "0",
+    })
+    engine = BfsWaveEngine(spark, spark.createDataFrame(edges), max_depth=1)
+    state, _, _ = engine.run("0xseed", collect_transfers=False)
+    assert state.next_seq == n_children + 1
+    # driver saw only per-partition count rows, not the 20k frontier rows
+    assert engine.driver_rows_collected <= 4 * engine.n_shuffle
+    # seq is dense, contiguous, and ordered by the first-enqueue key
+    rows = state.pop_log_df.where("wave = 1").select("seq", "node").collect()
+    seqs = sorted(r.seq for r in rows)
+    assert seqs == list(range(1, n_children + 1))
+    by_seq = {r.seq: r.node for r in rows}
+    assert by_seq[1] == "0xchild000000" and by_seq[n_children] == f"0xchild{n_children-1:06d}"
+
+
 def test_checkpoint_resume(spark, edges_df, images_df, source, oracle_result, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     engine = BfsWaveEngine(spark, edges_df, images=images_df, max_depth=2, checkpoint_dir=ckpt)

@@ -50,6 +50,32 @@ def test_label_reports_match(engine_res, oracle_res):
     assert len(got) > 0
 
 
+def test_address_checksum_validation():
+    """F9: base58check (≅ bitcoin.is_address) and EIP-55 (≅ Web3.isAddress)
+    against canonical vectors; planted fixture negatives are rejected."""
+    from blockchainspider_spark.fixtures.generators import btc_address
+    from blockchainspider_spark.functions.textual import (
+        extract_entities,
+        is_btc_address,
+        is_eth_address,
+    )
+
+    assert is_btc_address("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa")  # genesis
+    assert is_btc_address("3J98t1WpEZ73CNmQviecrnyiWrnqRhWNLy")  # P2SH
+    assert not is_btc_address("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNb")
+    assert is_eth_address("0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed")  # EIP-55
+    assert not is_eth_address("0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAeD")
+    assert is_btc_address(btc_address(7, valid=True))
+    assert not is_btc_address(btc_address(7, valid=False))
+
+    good, bad = btc_address(1, True), btc_address(2, False)
+    text = f"pay {good} not {bad} nor 0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAeD ok"
+    got = extract_entities(text)
+    assert ("BTC-Like-address", good) in got
+    assert all(v != bad for _, v in got)
+    assert all(net != "ETH-Like-address" for net, _ in got)
+
+
 def test_canonicalization_dedups_messy_urls(spark):
     """Two raw URLs differing only in param order / fragment / host case
     must collapse to one fetch."""
