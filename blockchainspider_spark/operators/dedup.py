@@ -9,10 +9,11 @@ lacks them). Scale notes per operator:
 * MinHash — shingle explode is the wide stage; the per-(doc, seed) min
   is a partial agg (map-side combine), so the shuffle carries
   |docs|×n_hashes rows, not |shingles|.
-* LSH — band-bucket self-join; bucket sizes are the skew risk (salt or
-  cap buckets at cluster scale); candidates verified with exact Jaccard
-  so false positives never escape (reference-style Bloom semantics:
-  approximate filter, exact authority — SURVEY U5).
+* LSH — band-bucket self-join; hot buckets are two-sided salted
+  (``skew_salt``: identical pair set, per-task work (B/s)² instead of
+  B²); candidates verified with exact Jaccard so false positives never
+  escape (reference-style Bloom semantics: approximate filter, exact
+  authority — SURVEY U5).
 * SimHash — token explode → per-bit majority vote as one groupBy.
 * embedding cosine — brute-force O(n²) baseline kept for oracle parity;
   the scale path buckets by LSH sign-bits first.
@@ -68,9 +69,22 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 4, skew_salt: int = 4
+) -> DataFrame:
     """Band the signature (seed // rows_per_band), bucket-join docs whose
-    band signature matches; emit distinct candidate pairs (a < b)."""
+    band signature matches; emit distinct candidate pairs (a < b).
+
+    Skew mitigation (``skew_salt`` = s > 1): one hot band bucket of size
+    B would otherwise put a B² self-join on a single task. Both sides are
+    salted by ``hash(doc) % s`` and replicated across the partner's s
+    salt values, then joined on (band, band_key, ga, gb) — every pair
+    (a, b) matches on exactly one key (g(a), g(b)), so the candidate set
+    is IDENTICAL to the unsalted join while per-task work drops to
+    (B/s)² across s² tasks. Cost: s× shuffle volume on the banded keys
+    (doc ids + 16-byte band keys, not payloads) — the right trade at
+    cluster scale, where the straggler, not the shuffle, is the
+    bottleneck."""
     banded = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc", "band")
@@ -78,11 +92,25 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4) -> DataFr
             F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash").cast("string"))
         )))).alias("band_key"))
     )
-    left = banded.select(F.col("doc").alias("a"), "band", "band_key")
-    right = banded.select(F.col("doc").alias("b"), "band", "band_key")
+    if skew_salt and skew_salt > 1:
+        s = int(skew_salt)
+        own = F.pmod(F.xxhash64(F.col("doc").cast("string")), F.lit(s)).cast("int")
+        rep = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        left = (
+            banded.select(F.col("doc").alias("a"), "band", "band_key", own.alias("ga"))
+            .withColumn("gb", rep)
+        )
+        right = (
+            banded.select(F.col("doc").alias("b"), "band", "band_key", own.alias("gb"))
+            .withColumn("ga", rep)
+        )
+        joined = left.join(right, on=["band", "band_key", "ga", "gb"])
+    else:
+        left = banded.select(F.col("doc").alias("a"), "band", "band_key")
+        right = banded.select(F.col("doc").alias("b"), "band", "band_key")
+        joined = left.join(right, on=["band", "band_key"])
     return (
-        left.join(right, on=["band", "band_key"])
-        .where(F.col("a") < F.col("b"))
+        joined.where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
@@ -152,14 +180,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 def cosine_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9, limit_ids: int | None = None,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Brute-force cosine near-dup pairs (a < b). O(n²) baseline — the
-    oracle-parity path; production path buckets by sign-LSH first."""
+    oracle-parity path; production path buckets by sign-LSH first
+    (``ann_lsh_bucketed``) or IVF cells (``ann_ivf``).
+
+    ``max_rows`` guards the driver collect: this operator broadcasts the
+    whole table as one matrix, which is only sane for verify-stage
+    volumes. Beyond the bound it refuses instead of OOM-ing the driver —
+    callers at scale must route through the bucketed variants."""
     import numpy as np
 
     base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     if limit_ids is not None:
         base = base.where(F.col("vid") < limit_ids)
+    n = base.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs is the O(n²) driver-broadcast baseline (n={n} > "
+            f"max_rows={max_rows}); use ann_lsh_bucketed/ann_ivf at scale"
+        )
     # left side collected+broadcast as a matrix; each Arrow batch of the
     # right side scores against it with one BLAS matmul (see ann_topk)
     rows = base.collect()

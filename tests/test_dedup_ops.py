@@ -1,0 +1,68 @@
+"""Dedup/similarity operator unit tests beyond the DuckDB gate:
+LSH skew salting, cosine scale guard."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def mega_bucket_docs(spark):
+    """60 identical docs (one LSH mega-bucket) + 20 distinct docs."""
+    rows = [{"doc_id": i, "text": "the same hot spam page text repeated"} for i in range(60)]
+    rows += [{"doc_id": 100 + i, "text": f"unique document number {i} " * 3} for i in range(20)]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_lsh_salting_identical_pairs(spark, mega_bucket_docs):
+    """Salted and unsalted band joins must produce the IDENTICAL
+    candidate set — salting is a physical rewrite only."""
+    sigs = D.minhash_signatures(mega_bucket_docs, "doc_id", "text", n_hashes=8, k=4)
+    plain = {(r.a, r.b) for r in D.lsh_candidate_pairs(sigs, 4, skew_salt=0).collect()}
+    salted = {(r.a, r.b) for r in D.lsh_candidate_pairs(sigs, 4, skew_salt=4).collect()}
+    assert salted == plain
+    # the planted mega-bucket yields all C(60,2) pairs
+    assert len({p for p in plain if p[0] < 100 and p[1] < 100}) == 60 * 59 // 2
+
+
+def test_lsh_salting_bounds_per_key_candidates(spark, mega_bucket_docs):
+    """With salt s, no (band, band_key, ga, gb) join key may carry more
+    than ~(B/s)² candidate pairs — the straggler-task bound."""
+    s = 4
+    sigs = D.minhash_signatures(mega_bucket_docs, "doc_id", "text", n_hashes=8, k=4)
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / 4).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.md5(F.concat_ws("_", F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash").cast("string"))
+        )))).alias("band_key"))
+    )
+    own = F.pmod(F.xxhash64(F.col("doc").cast("string")), F.lit(s)).cast("int")
+    per_salt = banded.groupBy("band", "band_key", own.alias("g")).count()
+    max_side = max(r["count"] for r in per_salt.collect())
+    # B=60 mega-bucket → per-salt side ≤ ~B/s + slack; join work per key
+    # is max_side², vs B² unsalted
+    assert max_side <= 60 // s + 10
+    assert max_side ** 2 < 60 * 60 / 4  # at least a 4× straggler cut
+
+
+def test_cosine_pairs_guard_refuses_large_collect(spark):
+    """The O(n²) brute-force baseline must refuse to silently collect a
+    table beyond its documented bound."""
+    big = spark.range(0, 60_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="cosine_pairs"):
+        D.cosine_pairs(big, max_rows=50_000)
+
+
+def test_cosine_pairs_small_ok(spark):
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0]],
+    }))
+    got = {(r.a, r.b) for r in D.cosine_pairs(emb, threshold=0.9).collect()}
+    assert got == {(0, 1)}
