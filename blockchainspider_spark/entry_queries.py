@@ -744,6 +744,55 @@ def q_f9b_checksum_extract_sql():
     """
 
 
+_SDN_NS = "https://sanctionslistservice.ofac.treas.gov/api/PublicationPreview/exports/XML"
+
+
+def _sdn_entry_xml(i: int) -> str:
+    """Deterministic SDN-shaped XML doc for spine row i: even i carries a
+    digital-currency address (XBT for i%4==0 else ETH), odd i has only a
+    passport id (must be filtered — reference _has_address, ofac.py:74-79)."""
+    if i % 2 == 0:
+        net = "XBT" if i % 4 == 0 else "ETH"
+        dca = (f"<id><idType>Digital Currency Address - {net}</idType>"
+               f"<idNumber>addr-{i}</idNumber></id>")
+    else:
+        dca = ""
+    return (
+        f'<sdnList xmlns="{_SDN_NS}"><sdnEntry><uid>{i}</uid>'
+        f"<firstName>F{i}</firstName><lastName>L{i}</lastName>"
+        f"<sdnType>Individual</sdnType><idList>"
+        f"<id><idType>Passport</idType><idNumber>P{i}</idNumber></id>{dca}"
+        f"</idList></sdnEntry></sdnList>"
+    )
+
+
+def q_s18_ofac_xml(spark, sf_dir):
+    """S18: stdlib-XML SDN parse (mapInPandas ElementTree kernel) over
+    deterministic SDN documents — entries without a digital-currency
+    address are dropped, XBT maps to BTC (reference ofac.py:22-79)."""
+    from blockchainspider_spark.sources.feeds import parse_ofac_xml
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+
+    def make_xml(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc": [_sdn_entry_xml(int(i)) for i in pdf["doc_id"]]})
+
+    docs = d.mapInPandas(make_xml, "doc string")
+    return parse_ofac_xml(docs).select("uid", "net", "address")
+
+
+def q_s18_ofac_xml_sql():
+    return """
+    SELECT doc_id::VARCHAR AS uid,
+           CASE WHEN doc_id % 4 = 0 THEN 'BTC' ELSE 'ETH' END AS net,
+           'addr-' || doc_id::VARCHAR AS address
+    FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+    """
+
+
 def q_f9_entity_extract_sql():
     return """
     SELECT entity, count(*) AS n_mentions

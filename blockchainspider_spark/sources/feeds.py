@@ -1,13 +1,17 @@
 """Label-feed sources (labels.* auxiliary scans, SURVEY S18/S19/S21).
 
-One JSON/XML document in → many label rows out (UDTF shape): schema'd
-``from_json`` + nested explodes, all JVM-side. The CryptoScamDB feed
-(S19) is fully implemented; the OFAC SDN XML scan (S18) parses with the
-same explode pattern from a pre-parsed JSON form (spark-xml is not
-bundled in this container — the XML→JSON step is gated)."""
+One JSON/XML document in → many label rows out (UDTF shape). The
+CryptoScamDB feed (S19) is schema'd ``from_json`` + nested explodes,
+all JVM-side. The OFAC SDN XML scan (S18) has two paths: the real XML
+kernel (``parse_ofac_xml`` — stdlib ``xml.etree`` inside mapInPandas,
+matching the reference's XPath semantics, ofac.py:22-71) and the
+JSON-form fallback (``parse_ofac_feed``) for pre-converted feeds."""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,3 +59,54 @@ def parse_ofac_feed(spark: SparkSession, docs: DataFrame, json_col: str = "doc")
     ).select("uid", "entity_name", "programs",
              F.col("dca.currency").alias("currency"),
              F.col("dca.address").alias("address"))
+
+
+OFAC_XML_OUT_SCHEMA = (
+    "uid string, first_name string, last_name string, sdn_type string, "
+    "net string, address string"
+)
+
+
+def _parse_sdn_entries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched SDN XML kernel: stdlib ElementTree with namespace
+    wildcards, mirroring the reference's XPath walk (ofac.py:28-71):
+    keep only entries holding a 'Digital Currency Address -*' id, emit
+    one row per such id, map the XBT net to BTC."""
+    import xml.etree.ElementTree as ET
+
+    def text(el, name):
+        c = el.find(f"{{*}}{name}")
+        return c.text if c is not None else None
+
+    for pdf in batches:
+        out = {k: [] for k in ("uid", "first_name", "last_name", "sdn_type", "net", "address")}
+        for xml in pdf.iloc[:, 0]:
+            if not xml:
+                continue
+            root = ET.fromstring(xml)
+            entries = root.findall(".//{*}sdnEntry")
+            if not entries and root.tag.rsplit("}", 1)[-1] == "sdnEntry":
+                entries = [root]
+            for entry in entries:
+                dca = []
+                for _id in entry.findall("{*}idList/{*}id"):
+                    id_type = text(_id, "idType") or ""
+                    if "Digital Currency Address" in id_type:
+                        net = id_type.replace("Digital Currency Address -", "").strip()
+                        dca.append(("BTC" if net == "XBT" else net, text(_id, "idNumber")))
+                if not dca:  # reference _has_address guard
+                    continue
+                for net, addr in dca:
+                    out["uid"].append(text(entry, "uid"))
+                    out["first_name"].append(text(entry, "firstName"))
+                    out["last_name"].append(text(entry, "lastName"))
+                    out["sdn_type"].append(text(entry, "sdnType"))
+                    out["net"].append(net)
+                    out["address"].append(addr)
+        yield pd.DataFrame(out)
+
+
+def parse_ofac_xml(docs: DataFrame, xml_col: str = "doc") -> DataFrame:
+    """S18, real XML path: one SDN XML document per row → one row per
+    (sanctioned entry, digital-currency address)."""
+    return docs.select(xml_col).mapInPandas(_parse_sdn_entries, OFAC_XML_OUT_SCHEMA)

@@ -6,7 +6,11 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from blockchainspider_spark.engine.plugins import WaveHooks, load_strategy
-from blockchainspider_spark.sources.feeds import parse_ofac_feed, parse_scamdb_feed
+from blockchainspider_spark.sources.feeds import (
+    parse_ofac_feed,
+    parse_ofac_xml,
+    parse_scamdb_feed,
+)
 
 
 def test_load_strategy_registry_and_dotted_path():
@@ -70,6 +74,46 @@ def test_scamdb_feed_parse(spark):
     got = {(r.domain, r.address) for r in rows}
     assert ("bad.example", "0xabc") in got and ("bad.example", "0xdef") in got
     assert any(r.domain == "worse.example" and r.address is None for r in rows)
+
+
+_SDN_XML = """<?xml version="1.0" encoding="utf-8"?>
+<sdnList xmlns="https://sanctionslistservice.ofac.treas.gov/api/PublicationPreview/exports/XML">
+  <sdnEntry>
+    <uid>101</uid>
+    <firstName>Ada</firstName>
+    <lastName>Lovelace</lastName>
+    <sdnType>Individual</sdnType>
+    <idList>
+      <id><idType>Passport</idType><idNumber>P123</idNumber></id>
+      <id><idType>Digital Currency Address - XBT</idType><idNumber>1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa</idNumber></id>
+      <id><idType>Digital Currency Address - ETH</idType><idNumber>0xabc0000000000000000000000000000000000001</idNumber></id>
+    </idList>
+  </sdnEntry>
+  <sdnEntry>
+    <uid>102</uid>
+    <lastName>NoCrypto Corp</lastName>
+    <sdnType>Entity</sdnType>
+    <idList>
+      <id><idType>Tax ID</idType><idNumber>T9</idNumber></id>
+    </idList>
+  </sdnEntry>
+</sdnList>"""
+
+
+def test_ofac_xml_parse(spark):
+    """S18: real SDN-shaped XML end-to-end — namespace-wildcard XPath walk,
+    DCA-only entry filter, XBT→BTC net mapping (reference ofac.py:22-71)."""
+    df = spark.createDataFrame(pd.DataFrame({"doc": [_SDN_XML]}))
+    rows = parse_ofac_xml(df).collect()
+    assert {(r.net, r.address) for r in rows} == {
+        ("BTC", "1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa"),
+        ("ETH", "0xabc0000000000000000000000000000000000001"),
+    }
+    assert all(r.uid == "101" and r.first_name == "Ada" and r.sdn_type == "Individual"
+               for r in rows)
+    # entry 102 has no digital-currency address → filtered (reference
+    # _has_address guard)
+    assert all(r.uid != "102" for r in rows)
 
 
 def test_ofac_feed_parse(spark):
