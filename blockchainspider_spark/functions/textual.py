@@ -3,16 +3,17 @@ keyword/summary extraction (label-crawl pipeline, SURVEY S16/F9-F12).
 
 Each kernel has one deterministic pure-Python core shared by the oracle
 and the Arrow-batched pandas UDFs, so crawl outputs match bit-for-bit.
-The reference uses summa's TextRank (web.py:36-37); that package is not
-in the container, so keywords/summary use a deterministic frequency
-ranker (top-k tokens by count, first-appearance tiebreak) — same shape,
-stable contract, clearly documented stand-in.
+``keywords``/``summary`` implement the reference's actual algorithm —
+TextRank (summa, web.py:36-37): PageRank power iteration over the token
+co-occurrence graph for keywords, and over the sentence-similarity
+graph for the summary, with deterministic iteration order and
+first-appearance tiebreaks (summa's dict order is CPython-stable; ours
+is explicit).
 """
 
 from __future__ import annotations
 
 import re
-from collections import Counter
 from urllib.parse import urljoin, urlparse
 
 _STYLE_RE = re.compile(r"<style[\s\S]*?</style>")
@@ -105,22 +106,115 @@ def extract_entities(text: str) -> list[tuple[str, str]]:
     return found
 
 
-def keywords(text: str, k: int = 16) -> list[str]:
-    """Deterministic keyword ranker (TextRank stand-in): top-k tokens by
-    frequency, ties broken by first appearance."""
+# compact English stopword set (summa filters stopwords before ranking)
+_STOPWORDS = frozenset(
+    "a an and are as at be but by for from has have if in into is it its of on "
+    "or not no so such that the their then there these they this to was were "
+    "will with we you your our his her him she he i me my".split()
+)
+
+_SENT_RE = re.compile(r"[.!?]+")
+
+
+def _pagerank(n: int, edges: dict[tuple[int, int], float], d: float = 0.85,
+              iters: int = 50) -> list[float]:
+    """Deterministic PageRank power iteration over a weighted undirected
+    graph given as {(i, j): w} with i < j. Plain-float arithmetic in
+    fixed index order — bit-identical across engine and oracle."""
+    out_w = [0.0] * n
+    adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for (i, j), w in sorted(edges.items()):
+        adj[i].append((j, w))
+        adj[j].append((i, w))
+        out_w[i] += w
+        out_w[j] += w
+    score = [1.0 / n] * n
+    base = (1.0 - d) / n
+    for _ in range(iters):
+        nxt = [base] * n
+        for i in range(n):
+            if not out_w[i]:
+                continue
+            share = d * score[i] / out_w[i]
+            for j, w in adj[i]:
+                nxt[j] += share * w
+        score = nxt
+    return score
+
+
+def keywords(text: str, k: int = 16, window: int = 2) -> list[str]:
+    """TextRank keywords (reference: summa.keywords, web.py:36): PageRank
+    over the token co-occurrence graph (stopwords removed, co-occurrence
+    within ``window``), top-k by score with first-appearance tiebreak."""
     toks = [t.lower() for t in _TOKEN_RE.findall(text or "")]
+    toks = [t for t in toks if t not in _STOPWORDS]
+    if not toks:
+        return []
     first_seen: dict[str, int] = {}
     for i, t in enumerate(toks):
         first_seen.setdefault(t, i)
-    counts = Counter(toks)
-    ranked = sorted(counts, key=lambda t: (-counts[t], first_seen[t]))
+    vocab = sorted(first_seen, key=first_seen.get)
+    index = {t: i for i, t in enumerate(vocab)}
+    edges: dict[tuple[int, int], float] = {}
+    for pos in range(len(toks)):
+        for off in range(1, window):
+            if pos + off >= len(toks):
+                break
+            a, b = index[toks[pos]], index[toks[pos + off]]
+            if a == b:
+                continue
+            key = (a, b) if a < b else (b, a)
+            edges[key] = edges.get(key, 0.0) + 1.0
+    if not edges:
+        ranked = sorted(vocab, key=lambda t: first_seen[t])
+        return ranked[:k]
+    score = _pagerank(len(vocab), edges)
+    ranked = sorted(vocab, key=lambda t: (-round(score[index[t]], 12), first_seen[t]))
     return ranked[:k]
 
 
+def _sentence_tokens(sent: str) -> set[str]:
+    return {t.lower() for t in _TOKEN_RE.findall(sent)} - _STOPWORDS
+
+
 def summary(text: str, max_chars: int = 256) -> str:
-    """Deterministic summary stand-in: leading clean text, whole tokens."""
+    """TextRank summary (reference: summa.summarize, web.py:37): PageRank
+    over the sentence-similarity graph (token overlap normalized by log
+    lengths), then the top-scoring sentences in original order up to the
+    character budget."""
+    import math
+
     clean = " ".join((text or "").split())
     if len(clean) <= max_chars:
         return clean
-    cut = clean[:max_chars]
-    return cut[: cut.rfind(" ")] if " " in cut else cut
+    sents = [s.strip() for s in _SENT_RE.split(clean) if s.strip()]
+    if len(sents) < 2:
+        cut = clean[:max_chars]
+        return cut[: cut.rfind(" ")] if " " in cut else cut
+    tok_sets = [_sentence_tokens(s) for s in sents]
+    edges: dict[tuple[int, int], float] = {}
+    for i in range(len(sents)):
+        for j in range(i + 1, len(sents)):
+            overlap = len(tok_sets[i] & tok_sets[j])
+            if not overlap:
+                continue
+            denom = math.log(max(len(tok_sets[i]), 2)) + math.log(max(len(tok_sets[j]), 2))
+            edges[(i, j)] = overlap / denom
+    if edges:
+        score = _pagerank(len(sents), edges)
+    else:
+        score = [1.0] * len(sents)
+    order = sorted(range(len(sents)),
+                   key=lambda i: (-round(score[i], 12), i))
+    chosen: list[int] = []
+    used = 0
+    for i in order:
+        cost = len(sents[i]) + (1 if chosen else 0)
+        if used + cost > max_chars:
+            continue
+        chosen.append(i)
+        used += cost
+    if not chosen:
+        cut = clean[:max_chars]
+        return cut[: cut.rfind(" ")] if " " in cut else cut
+    return " ".join(sents[i] for i in sorted(chosen))

@@ -50,6 +50,53 @@ def test_label_reports_match(engine_res, oracle_res):
     assert len(got) > 0
 
 
+def test_textrank_keywords_match_independent_pagerank():
+    """F11: keyword ranking equals an independently computed (numpy dense
+    power iteration) PageRank over the same co-occurrence graph."""
+    import numpy as np
+
+    from blockchainspider_spark.functions.textual import keywords
+
+    text = "spark data spark data engine"
+    # co-occurrence graph (window 2): w(spark,data)=3, w(data,engine)=1
+    vocab = ["spark", "data", "engine"]
+    W = np.array([[0, 3, 0], [3, 0, 1], [0, 1, 0]], dtype=float)
+    out_w = W.sum(axis=1)
+    d, n = 0.85, 3
+    score = np.full(n, 1.0 / n)
+    for _ in range(50):
+        score = (1 - d) / n + d * (W / out_w[None, :]) @ score
+    want = [vocab[i] for i in np.argsort(-np.round(score, 12), kind="stable")]
+    assert keywords(text, k=3) == want
+    assert want[0] == "data"  # hub token wins over the more frequent 'spark'
+
+
+def test_textrank_summary_prefers_central_sentences():
+    from blockchainspider_spark.functions.textual import summary
+
+    text = (
+        "Spark engines process data. "
+        "Data processing needs spark engines. "
+        "Bananas ripen quietly. "
+        "Spark data engines process batches. "
+        "Engines process spark data quickly."
+    )
+    out = summary(text, max_chars=80)
+    assert len(out) <= 80
+    # the isolated off-topic sentence has no similarity edges → lowest
+    # PageRank → never chosen over the connected cluster
+    assert "Bananas" not in out
+    assert "park" in out  # some spark-family sentence chosen
+
+
+def test_textrank_stopword_and_empty_edges():
+    from blockchainspider_spark.functions.textual import keywords
+
+    assert keywords("") == []
+    assert keywords("the and of to") == []  # pure stopwords
+    assert keywords("solitary") == ["solitary"]  # no edges → first-seen order
+
+
 def test_address_checksum_validation():
     """F9: base58check (≅ bitcoin.is_address) and EIP-55 (≅ Web3.isAddress)
     against canonical vectors; planted fixture negatives are rejected."""
