@@ -26,7 +26,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
-from blockchainspider_spark.oracle.ttr_redirect import TtrRedirectOracle
+from blockchainspider_spark.functions.redirect_walk import Profit as _Profit
 
 
 class VecStrategy:
@@ -448,35 +448,274 @@ class VecTtrTime(VecStrategy):
         })
 
 
+class _EngineSwap:
+    """Minimal swap container for the shared A11 walk (duck-typed:
+    ``profits`` list of redirect_walk.Profit, newest leg first)."""
+
+    __slots__ = ("profits",)
+
+    def __init__(self, profits):
+        self.profits = profits
+
+    def timestamp(self):
+        return self.profits[0].timestamp if self.profits else 0
+
+
 class VecTtrRedirect(VecStrategy):
-    """TTRRedirect: the swap-leg redirect walk is a genuine sequential
-    data dependency (stack DFS over per-symbol indexes, SURVEY A11), so
-    the engine runs the oracle kernel per node group — this is exactly
-    what the applyInPandas grouped kernel executes."""
+    """TTRRedirect, engine-side: the relational parts are independent
+    array/dict-agg implementations — A9 symbol sums via np.add.at over
+    symbol codes, A10 chip merges as a (symbol, ts)-keyed accumulator,
+    the temporal W/density distribution via per-symbol searchsorted +
+    cumsum (the VecTtrTime pattern). Only the genuinely sequential
+    swap-leg walk (A11) is shared with the golden oracle
+    (functions/redirect_walk), so the engine-vs-oracle equality tests
+    compare two real implementations. Reference quirks (scan-order
+    asymmetries, newest-first profit order, sign-flip timestamp
+    adoption) are mirrored — see oracle/ttr_redirect.py's header."""
 
     name = "TTRRedirect"
 
-    def __init__(self, source, **kw: Any):
+    def __init__(self, source, alpha=0.15, beta=0.8, epsilon=1e-3, **_: Any):
         super().__init__(source)
-        self._kernel = TtrRedirectOracle(source, **kw)
+        self.alpha, self.beta, self.epsilon = float(alpha), float(beta), float(epsilon)
+        self.p = _OrderedFloatState()
+        # chips: node → {(symbol, ts): value} in first-appearance order (A10:
+        # the oracle's per-push merge-by-(symbol,timestamp) is this store's
+        # accumulation, applied eagerly)
+        self.chips: dict[str, dict[tuple, float]] = {}
+        self._seeded = False
+
+    def _chips_of(self, node) -> dict:
+        return self.chips.setdefault(node, {})
+
+    def _add_chip(self, node, symbol, ts, val) -> None:
+        d = self._chips_of(node)
+        key = (symbol, ts)
+        d[key] = d.get(key, 0.0) + val
+
+    # ----- push --------------------------------------------------------------
 
     def push(self, node, batch: pd.DataFrame, **ctx: Any) -> None:
-        edges = batch.to_dict("records")
-        self._kernel.push(node, edges, **ctx)
+        self._chips_of(node)
+        if node == self.source and not self._seeded:
+            self._seed(batch)
+            return
+        chips_d = self.chips[node]
+        self.chips[node] = {}
+        # stable ts sort keeps first-appearance order among equal stamps
+        c_items = sorted(chips_d.items(), key=lambda kv: kv[0][1])
+        self.p.scatter(
+            np.array([node], dtype=object),
+            np.array([self.alpha * sum(v for _, v in c_items)]),
+        )
+        swaps = self._aggregate(node, batch)
+        swaps.sort(key=lambda s: s.timestamp())
+        self._distribute(node, swaps, c_items, forward=True)
+        self._distribute(node, swaps, c_items, forward=False)
+
+    # ----- A9: seed normalization (vectorized symbol sums) --------------------
+
+    def _seed(self, batch: pd.DataFrame) -> None:
+        self._seeded = True
+        frm = batch["from"].to_numpy()
+        to = batch["to"].to_numpy()
+        val = batch["value"].to_numpy(dtype=np.float64)
+        ts = batch["timeStamp"].to_numpy(dtype=np.int64)
+        sym = batch["symbol"].to_numpy()
+
+        symbols, codes = np.unique(sym, return_inverse=True)
+        first_idx = np.sort(np.unique(sym, return_index=True)[1])
+        symbols_ordered = list(sym[first_idx])
+        # QUIRK (sum scan): `to` checked before `from` → self-loops on the
+        # source count into in_sum only
+        is_in = to == self.source
+        is_out = (frm == self.source) & ~is_in
+        in_sum = np.zeros(len(symbols))
+        out_sum = np.zeros(len(symbols))
+        np.add.at(in_sum, codes[is_in], val[is_in])
+        np.add.at(out_sum, codes[is_out], val[is_out])
+        in_of = dict(zip(symbols, in_sum))
+        out_of = dict(zip(symbols, out_sum))
+
+        self.p.set(self.source, self.alpha * len(symbols_ordered))
+
+        out_coeff = (1 - self.alpha) * self.beta
+        in_coeff = (1 - self.alpha) * (1 - self.beta)
+        # QUIRK (scatter scan): `from` checked before `to` — edge-order loop
+        # mirrors the reference's chip overwrite-by-append semantics
+        for i in range(len(val)):
+            s = sym[i]
+            if frm[i] == self.source and out_of[s] != 0:
+                v = out_coeff * val[i] / out_of[s]
+                if v > 0:
+                    self._add_chip(to[i], s, int(ts[i]), v)
+            elif to[i] == self.source and in_of[s] != 0:
+                v = in_coeff * val[i] / in_of[s]
+                if v > 0:
+                    self._add_chip(frm[i], s, int(ts[i]), v)
+        import sys
+
+        for s in symbols_ordered:
+            if out_of.get(s, 0) == 0:
+                self._add_chip(self.source, s, 0, out_coeff)
+            elif in_of.get(s, 0) == 0:
+                self._add_chip(self.source, s, sys.maxsize, in_coeff)
+
+    # ----- J8: per-hash swap netting ------------------------------------------
+
+    def _aggregate(self, node, batch: pd.DataFrame) -> list[_EngineSwap]:
+        """Net signed profits per (hash, symbol, counterparty) with the
+        reference's move-to-front + sign-flip-timestamp merge discipline
+        (tracked here as move-to-end; profits emitted newest-first)."""
+        frm = batch["from"].to_numpy()
+        to = batch["to"].to_numpy()
+        val = batch["value"].to_numpy(dtype=np.float64)
+        ts = batch["timeStamp"].to_numpy(dtype=np.int64)
+        sym = batch["symbol"].to_numpy()
+        hsh = batch["hash"].to_numpy()
+        counterparty = np.where(frm == node, to, frm)
+        signed = np.where(frm == node, -val, val)
+
+        legs_by_hash: dict = {}  # hash → {(sym, cp): [value, ts]} move-to-end
+        for i in range(len(val)):
+            h = hsh[i]
+            legs = legs_by_hash.setdefault(h, {})
+            key = (sym[i], counterparty[i])
+            held = legs.pop(key, None)
+            v, t = float(signed[i]), int(ts[i])
+            if held is None:
+                if v != 0:
+                    legs[key] = [v, t]
+            else:
+                total = held[0] + v
+                if total != 0:
+                    # sign flip relative to the incoming edge adopts the
+                    # accumulated (older) timestamp
+                    legs[key] = [total, t if (v > 0) == (total > 0) else held[1]]
+            if not legs:
+                del legs_by_hash[h]
+        out = []
+        for legs in legs_by_hash.values():
+            profits = [
+                _Profit(cp, v, t, s)
+                for (s, cp), (v, t) in reversed(list(legs.items()))
+            ]
+            out.append(_EngineSwap(profits))
+        return out
+
+    # ----- A7-shaped temporal distribution + A11 walk --------------------------
+
+    def _distribute(self, node, swaps: list[_EngineSwap], c_items, forward: bool) -> None:
+        if not c_items:
+            return
+        coeff = (1 - self.alpha) * (self.beta if forward else 1 - self.beta)
+        sign = -1 if forward else 1  # forward distributes outputs (value<0)
+
+        c_sym = np.array([k[0] for k, _ in c_items], dtype=object)
+        c_ts = np.array([k[1] for k, _ in c_items], dtype=np.int64)
+        c_val = np.array([v for _, v in c_items], dtype=np.float64)
+        swap_ts = np.array([s.timestamp() for s in swaps], dtype=np.int64)
+
+        # eligible-leg rows per symbol in scan order (swap asc, profit order)
+        leg_rows: dict[str, list] = {}
+        has_leg = np.zeros(len(swaps), dtype=bool)
+        for i, s in enumerate(swaps):
+            for prf in s.profits:
+                if prf.value * sign > 0:
+                    leg_rows.setdefault(prf.symbol, []).append((swap_ts[i], prf.value))
+                    has_leg[i] = True
+
+        # W per chip: Σ eligible-leg value strictly after (fwd) / before
+        # (bwd) the chip, within the chip's symbol — suffix/prefix cumsums
+        W = np.zeros(len(c_items))
+        for s, rows in leg_rows.items():
+            arr_ts = np.array([r[0] for r in rows], dtype=np.int64)
+            arr_val = np.array([r[1] for r in rows], dtype=np.float64)
+            mask = c_sym == s
+            if forward:
+                suffix = np.concatenate([np.cumsum(arr_val[::-1])[::-1], [0.0]])
+                W[mask] = suffix[np.searchsorted(arr_ts, c_ts[mask], side="right")]
+            else:
+                prefix = np.concatenate([[0.0], np.cumsum(arr_val)])
+                W[mask] = prefix[np.searchsorted(arr_ts, c_ts[mask], side="left")]
+
+        contrib = np.where(W != 0, c_val / np.where(W != 0, W, 1.0), 0.0)
+
+        # per-symbol chip index for density-at-swap lookups
+        chip_idx: dict[str, tuple] = {}
+        for s in set(c_sym.tolist()):
+            mask = c_sym == s
+            if forward:
+                cum = np.concatenate([[0.0], np.cumsum(contrib[mask])])
+            else:
+                cum = np.concatenate([[0.0], np.cumsum(contrib[mask][::-1])])
+            chip_idx[s] = (c_ts[mask], cum)
+
+        from blockchainspider_spark.functions.redirect_walk import (
+            redirect_targets,
+            symbol_index,
+        )
+
+        sym_idx, dist_idx = symbol_index(swaps, forward=forward)
+
+        for i, swap in enumerate(swaps):
+            legs = [p for p in swap.profits if p.value * sign > 0]
+            if not legs:
+                continue
+            for prf in legs:
+                ts_s, cum = chip_idx.get(prf.symbol, (None, None))
+                if ts_s is None:
+                    continue
+                if forward:
+                    density = cum[np.searchsorted(ts_s, swap_ts[i], side="left")]
+                else:
+                    density = cum[len(ts_s) - np.searchsorted(ts_s, swap_ts[i], side="right")]
+                inc = coeff * prf.value * density
+                if inc == 0:
+                    continue
+                targets = redirect_targets(
+                    sign, prf.symbol, i, swaps, dist_idx, sym_idx, inc, self.epsilon
+                )
+                if not targets:
+                    continue
+                share = inc / len(targets)
+                for t in targets:
+                    self._add_chip(t.address, t.symbol, t.timestamp, share)
+
+        # unconsumed chips recycle to the node (leftovers)
+        eligible_ts = swap_ts[has_leg]
+        if forward:
+            bound = eligible_ts.max() if len(eligible_ts) else np.iinfo(np.int64).min
+            consumed = c_ts < bound
+        else:
+            bound = eligible_ts.min() if len(eligible_ts) else np.iinfo(np.int64).max
+            consumed = c_ts > bound
+        for keep, (key, v) in zip(~consumed, c_items):
+            if keep:
+                self._add_chip(node, key[0], key[1], coeff * v)
+
+    # ----- pop / snapshot -------------------------------------------------------
 
     def pop(self):
-        return self._kernel.pop()
+        best, best_v = None, self.epsilon
+        for n, d in self.chips.items():
+            total = sum(d.values())
+            if total > best_v:
+                best, best_v = n, total
+        if best is None:
+            return None, {}
+        return best, {"residual": best_v, "allow_all_tokens": True}
 
     def ranks(self):
-        return self._kernel.ranks()
+        return self.p.to_dict()
 
     def state_rows(self):
-        snap = self._kernel.snapshot()
-        nodes = list(dict.fromkeys(list(snap["r"]) + list(snap["p"])))
+        p = self.p.to_dict()
+        nodes = list(dict.fromkeys(list(self.chips) + list(p)))
         return pd.DataFrame({
             "node": nodes,
-            "r": [snap["r"].get(n, 0.0) for n in nodes],
-            "p": [snap["p"].get(n, 0.0) for n in nodes],
+            "r": [sum(self.chips.get(n, {}).values()) for n in nodes],
+            "p": [p.get(n, 0.0) for n in nodes],
         })
 
 

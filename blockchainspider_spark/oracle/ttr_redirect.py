@@ -27,18 +27,13 @@ from __future__ import annotations
 
 from typing import Any
 
+from blockchainspider_spark.functions.redirect_walk import (
+    Profit as _Profit,
+    redirect_targets as _walk_targets,
+    symbol_index as _walk_index,
+)
 from blockchainspider_spark.oracle.strategies import Edge
 from blockchainspider_spark.oracle.ttr import MAX_TS, _TtrCommon
-
-
-class _Profit:
-    __slots__ = ("address", "value", "timestamp", "symbol")
-
-    def __init__(self, address, value, timestamp, symbol):
-        self.address = address
-        self.value = value
-        self.timestamp = timestamp
-        self.symbol = symbol
 
 
 class _Swap:
@@ -177,71 +172,17 @@ class TtrRedirectOracle(_TtrCommon):
                     dict(value=(1 - self.alpha) * (1 - self.beta), timestamp=MAX_TS, symbol=sym)
                 )
 
-    # ----- distribution index ----------------------------------------------
+    # ----- distribution index (shared A11 kernel: functions/redirect_walk) ---
 
     def _symbol_index(self, swaps: list[_Swap], forward: bool):
-        """Per symbol: the swap indexes holding an *output* profit of that
-        symbol (QUIRK: outputs in both directions), plus the running
-        distribution index used to slice 'later'/'earlier' swaps."""
-        sym_idx: dict = {}
-        for i, swap in enumerate(swaps):
-            for profit in swap.outputs():
-                sym_idx.setdefault(profit.symbol, []).append(i)
-        dist_idx: dict = {}
-        for sym, es_idx in sym_idx.items():
-            index = [0] * len(swaps)
-            if forward:
-                j = 0
-                for i in range(len(index)):
-                    if j < len(es_idx) and es_idx[j] <= i:
-                        j += 1 if j < len(es_idx) else 0
-                    index[i] = j
-            else:
-                j = len(es_idx) - 1
-                for i in range(len(index) - 1, -1, -1):
-                    if j > 0 and es_idx[j] >= i:
-                        j -= 1 if j > 0 else 0
-                    index[i] = j
-            dist_idx[sym] = index
-        return sym_idx, dist_idx
+        return _walk_index(swaps, forward)
 
     def _redirect_targets(
         self, direction: int, symbol: str, start: int,
         swaps: list[_Swap], dist_idx: dict, sym_idx: dict, chip_value: float,
     ) -> list[_Profit]:
-        """Stack walk across swap legs: follow the single counter-leg of a
-        1-input swap to the swaps that sourced/consumed that symbol."""
-        result: list[_Profit] = []
-        stack = [(direction, symbol, start)]
-        visited: set = set()
-        while stack:
-            frame = stack.pop()
-            if frame in visited:
-                continue
-            visited.add(frame)
-            direction, symbol, idx = frame
-            swap = swaps[idx]
-            same_dir = [p for p in swap.profits if p.value * direction > 0]
-            counter = [p for p in swap.profits if p.value * direction < 0]
-
-            if stack and chip_value / len(stack) < self.epsilon:
-                return [p for p in same_dir if p.symbol == symbol]
-
-            if len(counter) == 1:
-                leg = counter[0]
-                leg_es_idx = sym_idx.get(leg.symbol)
-                leg_dist = dist_idx.get(leg.symbol)
-                if leg_es_idx is None or leg_dist is None:
-                    continue
-                if direction < 0:
-                    follow = leg_es_idx[leg_dist[idx]:]
-                else:
-                    follow = leg_es_idx[:leg_dist[idx]]
-                for nxt in follow:
-                    stack.append((direction, leg.symbol, nxt))
-            else:
-                result.extend(p for p in same_dir if p.symbol == symbol)
-        return result
+        return _walk_targets(direction, symbol, start, swaps, dist_idx,
+                             sym_idx, chip_value, self.epsilon)
 
     # ----- forward / backward ------------------------------------------------
 

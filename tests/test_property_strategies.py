@@ -112,3 +112,11 @@ def test_ttrweight_property(edges):
 @given(edges=edge_lists())
 def test_ttrtime_property(edges):
     _drive("TTRTime", {"epsilon": 1e-2}, edges)
+
+
+@settings(max_examples=15, deadline=None)
+@given(edges=edge_lists())
+def test_ttrredirect_property(edges):
+    """Now a meaningful check: the engine kernel is an independent
+    array/dict-agg implementation — only the A11 swap walk is shared."""
+    _drive("TTRRedirect", {"epsilon": 1e-2}, edges)
