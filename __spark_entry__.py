@@ -59,8 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     try:
         from blockchainspider_spark.entry_crawl import build_crawl_suite
         from blockchainspider_spark.entry_dedup import build_dedup_suite
+        from blockchainspider_spark.entry_etl import build_etl_suite
 
-        for build in (build_dedup_suite, build_crawl_suite):
+        for build in (build_dedup_suite, build_crawl_suite, build_etl_suite):
             extra, _ = build()
             q.update(extra)
     except ImportError:
@@ -75,8 +76,9 @@ def oracle_sql() -> dict[str, str]:
     try:
         from blockchainspider_spark.entry_crawl import build_crawl_suite
         from blockchainspider_spark.entry_dedup import build_dedup_suite
+        from blockchainspider_spark.entry_etl import build_etl_suite
 
-        for build in (build_dedup_suite, build_crawl_suite):
+        for build in (build_dedup_suite, build_crawl_suite, build_etl_suite):
             _, extra = build()
             o.update(extra)
     except ImportError:

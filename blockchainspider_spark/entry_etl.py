@@ -1,0 +1,751 @@
+"""Gate queries closing the §2 coverage gap: block-ETL chain, sinks,
+two-phase bloom, retry waves, cache hit-rate, strategy first-pushes,
+UTXO explode, URL canonicalization, HTML strip, priority queue.
+
+Every query derives its synthetic input deterministically from the
+driver's registered tables with transforms both engines can express, or
+— where the Spark side exercises a Python kernel (retry driver, cache,
+bloom, canonicalizer) — the DuckDB oracle recomputes the expected result
+independently (closed form / plain SQL), so a kernel bug on either side
+breaks the match.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# shared derivations: an EVM-ish tx/receipt world from lineitem
+# --------------------------------------------------------------------------
+
+def _derived_txs(spark, sf_dir):
+    """transactions: hash/block/addresses/gas derived from lineitem rows
+    (SQL twin in _TXS_SQL)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    return li.select(
+        F.md5(F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                          F.col("l_linenumber").cast("string"))).alias("hash"),
+        (F.col("l_orderkey") % 500 + 1000000).cast("long").alias("block_number"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))), 1, 40)).alias("address_from"),
+        F.when(F.col("l_partkey") % 13 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("p"), F.col("l_partkey").cast("string"))), 1, 40))
+        ).alias("address_to"),
+        (F.col("l_quantity") * 9000).cast("long").alias("gas"),
+        F.round(F.col("l_extendedprice"), 2).alias("value"),
+    )
+
+
+_TXS_SQL = """
+  SELECT md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR) AS hash,
+         CAST(l_orderkey % 500 + 1000000 AS BIGINT) AS block_number,
+         '0x' || substr(md5('s' || l_suppkey::VARCHAR), 1, 40) AS address_from,
+         CASE WHEN l_partkey % 13 = 0 THEN ''
+              ELSE '0x' || substr(md5('p' || l_partkey::VARCHAR), 1, 40) END AS address_to,
+         CAST(l_quantity * 9000 AS BIGINT) AS gas,
+         round(l_extendedprice, 2) AS value
+  FROM lineitem WHERE l_orderkey < 2000
+"""
+
+
+def _derived_receipts(spark, sf_dir):
+    """receipts 1:1 with the derived txs: status, gas_used,
+    created_contract for the ''-to (deploy) rows."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    return li.select(
+        F.md5(F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                          F.col("l_linenumber").cast("string"))).alias("transaction_hash"),
+        (F.col("l_orderkey") % 500 + 1000000).cast("long").alias("block_number"),
+        (F.col("l_linenumber") % 2).cast("int").alias("status"),
+        (F.col("l_quantity") * 7000).cast("long").alias("gas_used"),
+        F.when(F.col("l_partkey") % 13 == 0,
+               F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("c"), F.col("l_partkey").cast("string"))), 1, 40))
+               ).otherwise(F.lit("")).alias("created_contract"),
+    )
+
+
+_RECEIPTS_SQL = """
+  SELECT md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR) AS transaction_hash,
+         CAST(l_orderkey % 500 + 1000000 AS BIGINT) AS block_number,
+         CAST(l_linenumber % 2 AS INT) AS status,
+         CAST(l_quantity * 7000 AS BIGINT) AS gas_used,
+         CASE WHEN l_partkey % 13 = 0
+              THEN '0x' || substr(md5('c' || l_partkey::VARCHAR), 1, 40)
+              ELSE '' END AS created_contract
+  FROM lineitem WHERE l_orderkey < 2000
+"""
+
+
+def q_etl_block_receipt_chain(spark, sf_dir):
+    """S6+S11/J2+P8+P10 composed: block-range scan → batched receipt join
+    (broadcast on transaction_hash) → gas filter → per-block rollup with
+    deploy counts (created-contract filter)."""
+    from blockchainspider_spark.operators.block_etl import (
+        scan_block_range,
+        traceable_txs,
+        txs_with_receipts,
+    )
+
+    txs = scan_block_range(_derived_txs(spark, sf_dir), 1000100, 1000400)
+    enriched = txs_with_receipts(txs, _derived_receipts(spark, sf_dir))
+    traced = traceable_txs(enriched)  # P8: gas > 21000
+    return traced.groupBy("block_number").agg(
+        F.count("*").alias("n_txs"),
+        F.sum((F.col("created_contract") != "").cast("int")).cast("long").alias("n_deploys"),
+        F.sum("gas_used").cast("long").alias("sum_gas_used"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_etl_block_receipt_chain_sql():
+    return f"""
+    WITH txs AS ({_TXS_SQL}), rc AS ({_RECEIPTS_SQL})
+    SELECT txs.block_number, count(*) AS n_txs,
+           CAST(sum(CASE WHEN created_contract <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_deploys,
+           CAST(sum(gas_used) AS BIGINT) AS sum_gas_used,
+           round(sum(value), 2) AS sum_value
+    FROM txs JOIN rc ON txs.hash = rc.transaction_hash
+    WHERE txs.block_number BETWEEN 1000100 AND 1000400 AND txs.gas > 21000
+    GROUP BY 1
+    """
+
+
+def q_etl_topic_dispatch_decode(spark, sf_dir):
+    """S3/P6/P7/F4/F5 composed: synthetic logs (ERC-20 3-topic, ERC-721
+    4-topic, malformed, alien-topic) routed by topics[0] + shape through
+    the real dispatcher, decoding address words and hex values back. The
+    oracle recomputes expected rows from the event spine directly, so the
+    word-encode → dispatch → word-decode roundtrip is what's under test."""
+    from blockchainspider_spark.fixtures.chain import (
+        TOPIC_1155_SINGLE,
+        TOPIC_OTHER,
+        TOPIC_TRANSFER,
+    )
+    from blockchainspider_spark.operators.block_etl import token_transfers_from_logs
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 4000)
+    # a true 40-hex-char address (md5 alone is 32): md5(tag·x) ∥ md5(tag·x·'x')[:8]
+    addr = lambda tag, col: F.concat(
+        F.lit("0x"),
+        F.md5(F.concat(F.lit(tag), col.cast("string"))),
+        F.substring(F.md5(F.concat(F.lit(tag), col.cast("string"), F.lit("x"))), 1, 8),
+    )
+    word = lambda a: F.concat(F.lit("0x"), F.lpad(F.substring(a, 3, 40), 64, "0"))
+    amount = (F.col("value") * 100).cast("long")
+    base = ev.select(
+        F.col("event_id"),
+        F.col("event_type"),
+        F.md5(F.col("event_id").cast("string")).alias("transaction_hash"),
+        (F.col("event_id") % 100 + 2000000).cast("long").alias("block_number"),
+        (F.col("event_id") % 10).cast("long").alias("log_index"),
+        addr("k", F.col("event_id") % 7).alias("address"),
+        word(addr("u", F.col("user_id"))).alias("w_from"),
+        word(addr("v", F.col("user_id") + 1)).alias("w_to"),
+        F.concat(F.lit("0x"), F.lower(F.lpad(F.hex(amount), 64, "0"))).alias("w_amount"),
+        F.concat(F.lit("0x"), F.lower(F.lpad(F.hex(F.col("user_id")), 64, "0"))).alias("w_id"),
+    )
+    logs = base.select(
+        "transaction_hash", "block_number", "log_index", "address",
+        F.when(F.col("event_type") == "click",
+               F.array(F.lit(TOPIC_TRANSFER), F.col("w_from"), F.col("w_to")))
+        .when(F.col("event_type") == "view",
+              F.array(F.lit(TOPIC_TRANSFER), F.col("w_from"), F.col("w_to"), F.col("w_id")))
+        .when(F.col("event_type") == "purchase",
+              F.array(F.lit(TOPIC_TRANSFER), F.col("w_from")))          # malformed shape → P7 drop
+        .otherwise(F.array(F.lit(TOPIC_OTHER), F.col("w_from"), F.col("w_to")))
+        .alias("topics"),
+        F.when(F.col("event_type") == "click", F.col("w_amount")).otherwise(F.lit("0x")).alias("data"),
+    )
+    transfers = token_transfers_from_logs(logs)
+    return transfers.select(
+        "transaction_hash", "standard", "address_from", "address_to",
+        F.col("value").cast("long").alias("amount"),
+        F.col("token_id"),
+    )
+
+
+def q_etl_topic_dispatch_decode_sql():
+    return """
+    SELECT md5(event_id::VARCHAR) AS transaction_hash,
+           CASE WHEN event_type = 'click' THEN 'erc20' ELSE 'erc721' END AS standard,
+           '0x' || md5('u' || user_id::VARCHAR) || substr(md5('u' || user_id::VARCHAR || 'x'), 1, 8) AS address_from,
+           '0x' || md5('v' || (user_id + 1)::VARCHAR) || substr(md5('v' || (user_id + 1)::VARCHAR || 'x'), 1, 8) AS address_to,
+           CASE WHEN event_type = 'click' THEN CAST(trunc(value * 100) AS BIGINT)
+                ELSE 1 END AS amount,  -- trunc: DuckDB CAST(double) rounds, Spark truncates
+           CASE WHEN event_type = 'click' THEN '' ELSE user_id::VARCHAR END AS token_id
+    FROM events
+    WHERE event_id < 4000 AND event_type IN ('click', 'view')
+    """
+
+
+def q_etl_contract_dim_props(spark, sf_dir):
+    """S14/J3: distinct derived contracts → batched property 'fetch'
+    (mapInPandas fixture calls, sha256-deterministic) — the oracle
+    recomputes every property from the same hash in SQL."""
+    from blockchainspider_spark.operators.block_etl import build_contract_dim
+
+    contracts = (
+        _t(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+        .select(F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("ct"), F.col("p_partkey").cast("string"))), 1, 40)).alias("contract_address"))
+    )
+    return build_contract_dim(contracts)
+
+
+def q_etl_contract_dim_props_sql():
+    return """
+    WITH c AS (
+      SELECT '0x' || substr(md5('ct' || p_partkey::VARCHAR), 1, 40) AS contract_address
+      FROM part WHERE p_partkey < 200
+    ), d AS (SELECT DISTINCT contract_address FROM c),
+    h AS (SELECT contract_address, sha256(contract_address) AS hh FROM d)
+    SELECT contract_address,
+           'Token' || substr(hh, 1, 6) AS name,
+           'TK' || upper(substr(hh, 1, 4)) AS token_symbol,
+           CAST(6 + ('0x' || substr(hh, 7, 1))::BIGINT % 13 AS INT) AS decimals,
+           (('0x' || substr(hh, 1, 12))::BIGINT)::VARCHAR AS total_supply
+    FROM h
+    """
+
+
+def q_etl_nft_metadata(spark, sf_dir):
+    """S15/J5/F13/F14: NFT metadata enrich — distinct (contract, token)
+    → tokenURI fetch → ipfs gateway rewrite + zero-padded token word →
+    broadcast join back onto the facts."""
+    from blockchainspider_spark.operators.block_etl import nft_metadata_enrich
+
+    nft = _t(spark, sf_dir, "events").where(F.col("event_id") < 1500).select(
+        F.col("event_id"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("n"), (F.col("event_id") % 5).cast("string"))), 1, 40)).alias("contract_address"),
+        (F.col("user_id") % 50).cast("string").alias("token_id"),
+    )
+    return nft_metadata_enrich(nft).select(
+        "event_id", "contract_address", "token_id", "metadata_url", "token_id_word"
+    )
+
+
+def q_etl_nft_metadata_sql():
+    return """
+    SELECT event_id,
+           '0x' || substr(md5('n' || (event_id % 5)::VARCHAR), 1, 40) AS contract_address,
+           (user_id % 50)::VARCHAR AS token_id,
+           'https://ipfs.io/ipfs/' || md5('0x' || substr(md5('n' || (event_id % 5)::VARCHAR), 1, 40)
+                                          || '/' || (user_id % 50)::VARCHAR) AS metadata_url,
+           lpad(lower(to_hex(user_id % 50)), 64, '0') AS token_id_word
+    FROM events WHERE event_id < 1500
+    """
+
+
+# --------------------------------------------------------------------------
+# sinks / set ops / retries / cache
+# --------------------------------------------------------------------------
+
+def q_k1_csv_header(spark, sf_dir):
+    """K1/O4: the CSV-compat sink's sorted-field-name header contract
+    (reference pipelines/subgraph.py:54): one row carrying the header the
+    sink would write for the transfers schema, plus the row count."""
+    from blockchainspider_spark.operators.sinks import transfers_csv_columns
+
+    t = transfers_csv_columns(_derived_txs(spark, sf_dir))
+    return t.agg(F.count("*").cast("long").alias("n_rows")).select(
+        F.lit(",".join(t.columns)).alias("header"), "n_rows"
+    )
+
+
+def q_k1_csv_header_sql():
+    return f"""
+    SELECT 'address_from,address_to,block_number,gas,hash,value' AS header,
+           count(*) AS n_rows
+    FROM ({_TXS_SQL}) t
+    """
+
+
+def q_u5_bloom_two_phase(spark, sf_dir):
+    """U5: two-phase bloom dedup must equal the exact anti-join — the
+    Spark side routes through the Bloom pre-filter + anti-join, the
+    oracle is a plain EXCEPT."""
+    from blockchainspider_spark.operators.block_etl import bloom_dedup_new_contracts
+
+    allc = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("0x"), F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 40)).alias("contract_address"),
+        F.col("p_partkey").cast("long").alias("pk"),
+    )
+    dim = allc.where(F.col("pk") < 400).drop("pk")
+    known = allc.where((F.col("pk") % 3 == 0) & (F.col("pk") < 1000)).drop("pk")
+    return bloom_dedup_new_contracts(dim, known)
+
+
+def q_u5_bloom_two_phase_sql():
+    return """
+    SELECT '0x' || substr(md5(p_partkey::VARCHAR), 1, 40) AS contract_address
+    FROM part WHERE p_partkey < 400
+    AND NOT (p_partkey % 3 = 0 AND p_partkey < 1000)
+    """
+
+
+def q_t4_retry_waves(spark, sf_dir):
+    """T4/T5: retry-wave driver — rows re-enter until ok or the budget is
+    spent. The attempt predicate is deterministic (ok iff id%4 == attempt,
+    max_retry=2 → id%4==3 fails terminally); the oracle is its closed
+    form."""
+    from blockchainspider_spark.engine.fetch_cache import fetch_with_retries
+
+    reqs = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000).select("event_id")
+
+    def attempt(batch, attempt_no):
+        return batch.withColumn("ok", F.col("event_id") % 4 == attempt_no)
+
+    out = fetch_with_retries(reqs, attempt, max_retry=2)
+    return out.select("event_id", F.col("attempts").cast("int").alias("attempts"), "status")
+
+
+def q_t4_retry_waves_sql():
+    return """
+    SELECT event_id,
+           CAST(CASE WHEN event_id % 4 <= 2 THEN event_id % 4 + 1 ELSE 3 END AS INT) AS attempts,
+           CASE WHEN event_id % 4 <= 2 THEN 'ok' ELSE 'failed' END AS status
+    FROM events WHERE event_id < 3000
+    """
+
+
+def q_a14_cache_hitrate(spark, sf_dir):
+    """A14/T7: response-cache hit-rate lineage across two fetch waves
+    (wave 2 overlaps wave 1); the oracle derives hit/miss counts from the
+    key-range construction."""
+    from blockchainspider_spark.engine.fetch_cache import CachedFetcher
+
+    ev = _t(spark, sf_dir, "events")
+    w1 = ev.where(F.col("event_id") < 1200).select(F.md5(F.col("event_id").cast("string")).alias("cache_key"))
+    w2 = ev.where((F.col("event_id") >= 600) & (F.col("event_id") < 1800)).select(
+        F.md5(F.col("event_id").cast("string")).alias("cache_key")
+    )
+    fetcher = CachedFetcher(spark, lambda df: df.select("cache_key", F.md5(F.col("cache_key")).alias("response")))
+    fetcher.fetch(w1).count()
+    fetcher.fetch(w2).count()
+    rows = [(i + 1, s.hits, s.misses, round(s.hit_rate, 6)) for i, s in enumerate(fetcher.stats)]
+    return spark.createDataFrame(rows, "wave int, hits long, misses long, hit_rate double")
+
+
+def q_a14_cache_hitrate_sql():
+    return """
+    WITH w1 AS (SELECT count(*) AS n FROM events WHERE event_id < 1200),
+         ovl AS (SELECT count(*) AS n FROM events WHERE event_id >= 600 AND event_id < 1200),
+         w2 AS (SELECT count(*) AS n FROM events WHERE event_id >= 600 AND event_id < 1800)
+    SELECT 1 AS wave, 0::BIGINT AS hits, w1.n::BIGINT AS misses, round(0.0, 6) AS hit_rate FROM w1
+    UNION ALL
+    SELECT 2, ovl.n::BIGINT, (w2.n - ovl.n)::BIGINT,
+           round(ovl.n::DOUBLE / w2.n, 6) FROM ovl, w2
+    """
+
+
+# --------------------------------------------------------------------------
+# strategy first-pushes (A5/A6/A7-seed) + priority queue + UTXO + kernels
+# --------------------------------------------------------------------------
+
+def _seed_edges(spark, sf_dir):
+    """Directed weighted edges around seed c1 (value = extendedprice)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        F.round(F.col("l_extendedprice"), 2).alias("value"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("ts"),
+    )
+
+
+_SEED_EDGES_SQL = """
+  SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst,
+         round(l_extendedprice, 2) AS value,
+         CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS ts
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def q_strat_ttrbase_push(spark, sf_dir):
+    """A5: TTRBase first push — count-uniform fan-out: every out-edge of
+    c1 scatters (1−α)·β·r/|out| (per edge, not per distinct neighbor)."""
+    e = _seed_edges(spark, sf_dir).where(F.col("src") == "c1")
+    n_out = e.agg(F.count("*").alias("n")).select("n")
+    return (
+        e.crossJoin(F.broadcast(n_out))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.round(F.sum(F.lit(0.85 * 0.8) / F.col("n")), 6).alias("residual"))
+    )
+
+
+def q_strat_ttrbase_push_sql():
+    return f"""
+    WITH e AS (SELECT * FROM ({_SEED_EDGES_SQL}) t WHERE src = 'c1'),
+    n AS (SELECT count(*) AS n FROM e)
+    SELECT dst AS node, round(sum(0.85 * 0.8 / n.n), 6) AS residual
+    FROM e, n GROUP BY 1
+    """
+
+
+def q_strat_ttrweight_push(spark, sf_dir):
+    """A6: TTRWeight first push — value-weighted scatter
+    (1−α)·β·value/out_sum over c1's out-edges."""
+    e = _seed_edges(spark, sf_dir).where(F.col("src") == "c1")
+    out_sum = e.agg(F.sum("value").alias("s")).select("s")
+    return (
+        e.crossJoin(F.broadcast(out_sum))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.round(F.sum(F.lit(0.85 * 0.8) * F.col("value") / F.col("s")), 6).alias("residual"))
+    )
+
+
+def q_strat_ttrweight_push_sql():
+    return f"""
+    WITH e AS (SELECT * FROM ({_SEED_EDGES_SQL}) t WHERE src = 'c1'),
+    s AS (SELECT sum(value) AS s FROM e)
+    SELECT dst AS node, round(sum(0.85 * 0.8 * value / s.s), 6) AS residual
+    FROM e, s GROUP BY 1
+    """
+
+
+def q_strat_ttrtime_seed(spark, sf_dir):
+    """A7/A13 seed form: TTRTime seed chips — per out-edge chip
+    (1−α)·β·v/out_total at the edge's timestamp, then the chip-sum rank
+    per node (A13's groupBy before pop)."""
+    e = _seed_edges(spark, sf_dir).where(F.col("src") == "c1")
+    out_sum = e.agg(F.sum("value").alias("s")).select("s")
+    chips = e.crossJoin(F.broadcast(out_sum)).select(
+        F.col("dst").alias("node"), "ts",
+        (F.lit(0.85 * 0.8) * F.col("value") / F.col("s")).alias("chip"),
+    )
+    return chips.groupBy("node").agg(
+        F.round(F.sum("chip"), 6).alias("residual"),
+        F.count("*").alias("n_chips"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def q_strat_ttrtime_seed_sql():
+    return f"""
+    WITH e AS (SELECT * FROM ({_SEED_EDGES_SQL}) t WHERE src = 'c1'),
+    s AS (SELECT sum(value) AS s FROM e)
+    SELECT dst AS node, round(sum(0.85 * 0.8 * value / s.s), 6) AS residual,
+           count(*) AS n_chips, max(ts) AS last_ts
+    FROM e, s GROUP BY 1
+    """
+
+
+def q_o6_priority_queue(spark, sf_dir):
+    """O6/W4: the scheduler's priority order — priority = 2^32 − block,
+    popped desc ≡ ascending block order; top-50."""
+    blocks = _derived_txs(spark, sf_dir).select("block_number").distinct()
+    pq = blocks.withColumn("priority", F.lit(2**32).cast("long") - F.col("block_number"))
+    return pq.orderBy(F.desc("priority")).limit(50)
+
+
+def q_o6_priority_queue_sql():
+    return f"""
+    SELECT block_number, CAST(4294967296 - block_number AS BIGINT) AS priority
+    FROM (SELECT DISTINCT block_number FROM ({_TXS_SQL}) t)
+    ORDER BY priority DESC LIMIT 50
+    """
+
+
+def q_s5_utxo_explode(spark, sf_dir):
+    """S5/P3: UTXO adaptation — only spent outputs become edges
+    (is_spent filter + projection), tx ids as nodes."""
+    from blockchainspider_spark.operators.transfers import utxo_to_edges
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2500)
+    utxo = ev.select(
+        F.md5(F.col("event_id").cast("string")).alias("id"),
+        F.concat(F.lit("tx"), (F.col("event_id") % 97).cast("string")).alias("tx_from"),
+        F.concat(F.lit("tx"), (F.col("event_id") % 89 + 100).cast("string")).alias("tx_to"),
+        F.round(F.col("value"), 4).cast("double").alias("value"),
+        (F.col("event_id") % 3 != 0).alias("is_spent"),
+        (F.col("event_id") % 50).cast("long").alias("timestamp"),
+        (F.col("event_id") % 100 + 700000).cast("long").alias("block_number"),
+    )
+    return utxo_to_edges(utxo).select(
+        "id", "address_from", "address_to",
+        F.col("value").cast("double").alias("value_d"),
+        "timestamp", "block_number",
+    )
+
+
+def q_s5_utxo_explode_sql():
+    return """
+    SELECT md5(event_id::VARCHAR) AS id,
+           'tx' || (event_id % 97)::VARCHAR AS address_from,
+           'tx' || (event_id % 89 + 100)::VARCHAR AS address_to,
+           round(value, 4) AS value_d,
+           CAST(event_id % 50 AS BIGINT) AS timestamp,
+           CAST(event_id % 100 + 700000 AS BIGINT) AS block_number
+    FROM events WHERE event_id < 2500 AND event_id % 3 <> 0
+    """
+
+
+def q_f2_url_canonicalize(spark, sf_dir):
+    """F2/F3: the URL canonicalization kernel (lowercase scheme/host,
+    strip default port + fragment, sort query params) against an
+    independent SQL reimplementation over messy derived URLs."""
+    from blockchainspider_spark.functions.fingerprint import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Host"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".Example.COM:80/p/"), (F.col("doc_id") % 9).cast("string"),
+            F.lit("?b="), (F.col("doc_id") % 3).cast("string"),
+            F.lit("&a="), (F.col("doc_id") % 2).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return messy.select("doc_id", canonicalize_url(F.col("url")).alias("canonical"))
+
+
+def q_f2_url_canonicalize_sql():
+    return """
+    SELECT doc_id,
+           'http://host' || (doc_id % 5)::VARCHAR || '.example.com/p/' || (doc_id % 9)::VARCHAR
+           || '?a=' || (doc_id % 2)::VARCHAR || '&b=' || (doc_id % 3)::VARCHAR AS canonical
+    FROM documents WHERE doc_id < 300
+    """
+
+
+def q_f10_html_strip(spark, sf_dir):
+    """F10: HTML strip kernel (drop <style>/<script> blocks, then tags)
+    over derived pages; the oracle strips with its own regexes."""
+    from blockchainspider_spark.functions.textual import strip_html
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("<html><style>p{}</style><script>var x=1;</script><p>"),
+                 F.col("text"), F.lit("</p></html>")).alias("html"),
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "text": [strip_html(h) for h in pdf["html"]],
+            })
+
+    return pages.mapInPandas(kernel, "doc_id long, text string")
+
+
+def q_f10_html_strip_sql():
+    return """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             '<html><style>p{}</style><script>var x=1;</script><p>' || text || '</p></html>',
+             '<style[\\s\\S]*?</style>', ' ', 'g'),
+             '<script[\\s\\S]*?</script>', ' ', 'g'),
+             '<(.*?)>', ' ', 'g') AS text
+    FROM documents WHERE doc_id < 400
+    """
+
+
+def q_s12_trace_flatten(spark, sf_dir):
+    """S12/X4: nested call-tree flatten — schema'd from_json + iterative
+    posexplode levels (no recursion, no UDF). Trees are constructed
+    per-row from the spine; the oracle re-extracts every call with
+    DuckDB's JSON path functions."""
+    from blockchainspider_spark.operators.traces import flatten_call_trees
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 800)
+    docs = ev.select(
+        F.md5(F.col("event_id").cast("string")).alias("transaction_hash"),
+        _trace_json_expr(F.col("event_id")).alias("trace_json"),
+    )
+    return flatten_call_trees(docs, max_depth=3).select(
+        "tx", "path", "depth", "call_type", "address_from", "address_to", "gas"
+    )
+
+
+def _trace_json_expr(eid):
+    """Deterministic 2-3 level call tree as a JSON string column: root
+    CALL → [STATICCALL (→ DELEGATECALL when event_id is even), CALL]."""
+    grand = F.when(
+        eid % 2 == 0,
+        F.concat(F.lit(',"calls":[{"type":"DELEGATECALL","from":"0xc","to":"0xd","value":"0x0","gas":"'),
+                 (eid % 50).cast("string"), F.lit('"}]')),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('{"type":"CALL","from":"0xa","to":"0xb","value":"0x1","gas":"'),
+        (eid % 1000).cast("string"),
+        F.lit('","calls":[{"type":"STATICCALL","from":"0xb","to":"0xc","value":"0x0","gas":"'),
+        (eid % 100).cast("string"), F.lit('"'), grand,
+        F.lit('},{"type":"CALL","from":"0xb","to":"0xe","value":"0x2","gas":"'),
+        (eid % 200).cast("string"), F.lit('"}]}'),
+    )
+
+
+def q_s12_trace_flatten_sql():
+    return """
+    WITH base AS (
+      SELECT md5(event_id::VARCHAR) AS tx, event_id FROM events WHERE event_id < 800
+    )
+    SELECT tx, '0' AS path, 0 AS depth, 'CALL' AS call_type,
+           '0xa' AS address_from, '0xb' AS address_to, (event_id % 1000)::VARCHAR AS gas
+    FROM base
+    UNION ALL
+    SELECT tx, '0.0', 1, 'STATICCALL', '0xb', '0xc', (event_id % 100)::VARCHAR FROM base
+    UNION ALL
+    SELECT tx, '0.1', 1, 'CALL', '0xb', '0xe', (event_id % 200)::VARCHAR FROM base
+    UNION ALL
+    SELECT tx, '0.0.0', 2, 'DELEGATECALL', '0xc', '0xd', (event_id % 50)::VARCHAR
+    FROM base WHERE event_id % 2 = 0
+    """
+
+
+def q_s16_link_extract(spark, sf_dir):
+    """S16/F12/P9: document-order link extraction + http(s)-scheme filter
+    over constructed pages (one good absolute link, one relative link to
+    urljoin, one ftp link that must be dropped)."""
+    from blockchainspider_spark.functions.textual import extract_links
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("http://host"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/base/page")).alias("url"),
+        F.concat(
+            F.lit('<a href="http://abs.example.org/x'), F.col("doc_id").cast("string"),
+            F.lit('">a</a><a href="/rel/'), (F.col("doc_id") % 11).cast("string"),
+            F.lit('">r</a><a href="ftp://drop.example/f">f</a>'),
+        ).alias("html"),
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "pos": [], "link": []}
+            for doc_id, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
+                for pos, link in enumerate(extract_links(url, html)):
+                    out["doc_id"].append(doc_id)
+                    out["pos"].append(pos)
+                    out["link"].append(link)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(kernel, "doc_id long, pos int, link string")
+
+
+def q_s16_link_extract_sql():
+    return """
+    SELECT doc_id, 0 AS pos,
+           'http://abs.example.org/x' || doc_id::VARCHAR AS link
+    FROM documents WHERE doc_id < 500
+    UNION ALL
+    SELECT doc_id, 1,
+           'http://host' || (doc_id % 7)::VARCHAR || '.example.com/rel/' || (doc_id % 11)::VARCHAR
+    FROM documents WHERE doc_id < 500
+    """
+
+
+def q_s19_scamdb_feed(spark, sf_dir):
+    """S19: one JSON feed document per row → exploded (domain, entry,
+    address) rows via schema'd from_json (UDTF shape)."""
+    from blockchainspider_spark.sources.feeds import parse_scamdb_feed
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    i = F.col("doc_id").cast("string")
+    docs = d.select(F.concat(
+        F.lit('{"success":true,"result":{"dom'), i,
+        F.lit('.example":[{"name":"n'), i,
+        F.lit('","url":"http://dom'), i,
+        F.lit('.example","category":"Scam","addresses":["0xaa'), i,
+        F.lit('","0xbb'), i, F.lit('"]}]}}'),
+    ).alias("doc"))
+    return parse_scamdb_feed(spark, docs)
+
+
+def q_s19_scamdb_feed_sql():
+    return """
+    WITH base AS (SELECT doc_id::VARCHAR AS i FROM documents WHERE doc_id < 600),
+    pair AS (SELECT i, unnest(['0xaa' || i, '0xbb' || i]) AS address FROM base)
+    SELECT 'dom' || i || '.example' AS domain, 'n' || i AS name,
+           'http://dom' || i || '.example' AS url, 'Scam' AS category, address
+    FROM pair
+    """
+
+
+def q_p3_symbol_identity(spark, sf_dir):
+    """P3/F20: edge adaptation — strategy symbol identity
+    symbol_contract[_tokenid] and double-cast value."""
+    from blockchainspider_spark.operators.transfers import with_symbol_identity
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    transfers = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit("TOK")).otherwise(F.lit("native")).alias("symbol"),
+        F.concat(F.lit("0xc"), (F.col("event_id") % 4).cast("string")).alias("contract_address"),
+        F.when(F.col("event_id") % 5 == 0, (F.col("event_id") % 90).cast("string")).otherwise(F.lit("")).alias("token_id"),
+        F.round(F.col("value"), 4).cast("string").alias("value"),
+    )
+    return with_symbol_identity(transfers).select(
+        "event_id", "symbol_identity", F.round(F.col("value_d"), 4).alias("value_d")
+    )
+
+
+def q_p3_symbol_identity_sql():
+    return """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN 'TOK' ELSE 'native' END AS symbol,
+             '0xc' || (event_id % 4)::VARCHAR AS contract,
+             CASE WHEN event_id % 5 = 0 THEN (event_id % 90)::VARCHAR ELSE '' END AS token_id,
+             round(value, 4) AS v
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           CASE WHEN token_id <> '' THEN symbol || '_' || contract || '_' || token_id
+                ELSE symbol || '_' || contract END AS symbol_identity,
+           round(v, 4) AS value_d
+    FROM t
+    """
+
+
+def q_p9_scheme_filter(spark, sf_dir):
+    """P9: scheme/onion/domain gating with parse_url — keep http(s) URLs
+    whose host is not .onion."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2400)
+    i = (F.col("event_id") % 9999).cast("string")
+    urls = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 4 == 0, F.concat(F.lit("http://a"), i, F.lit(".example.com/p")))
+        .when(F.col("event_id") % 4 == 1, F.concat(F.lit("https://b.example.com/"), i))
+        .when(F.col("event_id") % 4 == 2, F.concat(F.lit("ftp://files.example.com/"), i))
+        .otherwise(F.concat(F.lit("http://hidden"), i, F.lit(".onion/x"))).alias("url"),
+    )
+    scheme = F.parse_url(F.col("url"), F.lit("PROTOCOL"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return urls.where(scheme.startswith("http") & ~host.endswith(".onion")).select("event_id", "url")
+
+
+def q_p9_scheme_filter_sql():
+    return """
+    SELECT event_id,
+           CASE WHEN event_id % 4 = 0 THEN 'http://a' || (event_id % 9999)::VARCHAR || '.example.com/p'
+                ELSE 'https://b.example.com/' || (event_id % 9999)::VARCHAR END AS url
+    FROM events WHERE event_id < 2400 AND event_id % 4 IN (0, 1)
+    """
+
+
+def build_etl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
+    queries, oracles = {}, {}
+    for name, fn in list(globals().items()):
+        if name.startswith("q_") and callable(fn) and not name.endswith("_sql"):
+            key = name[2:]
+            queries[key] = fn
+            sql_fn = globals().get(f"{name}_sql")
+            if sql_fn:
+                oracles[key] = sql_fn()
+    return queries, oracles

@@ -148,7 +148,8 @@ def enrich_with_properties(token_transfers: DataFrame, contract_dim: DataFrame) 
 
 def _fetch_token_uris(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """S15 stage 1: batched 'tokenURI/uri(tokenId)' calls — deterministic
-    fixture stand-in (ipfs:// URI derived from contract+token)."""
+    fixture stand-in (ipfs:// URI derived from contract+token; md5 so the
+    DuckDB gate oracle can derive the identical URI)."""
     import hashlib
 
     for pdf in batches:
@@ -156,7 +157,7 @@ def _fetch_token_uris(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             "contract_address": pdf["contract_address"],
             "token_id": pdf["token_id"],
             "token_uri": [
-                "ipfs://" + hashlib.sha1(f"{c}/{t}".encode()).hexdigest()
+                "ipfs://" + hashlib.md5(f"{c}/{t}".encode()).hexdigest()
                 for c, t in zip(pdf["contract_address"], pdf["token_id"])
             ],
         })
