@@ -53,38 +53,57 @@ def make_fetch_kernel(qps: float | None = None):
         last_fetch: dict[str, float] = {}
         min_interval = (1.0 / qps) if qps else 0.0
         for pdf in batches:
-            out = {k: [] for k in (
-                "node", "image_id", "host", "wave", "depth", "seq", "caption_sha",
-                "phash_decoded", "phash_match", "psnr_db", "psnr_ok", "fetch_ms",
-            )}
-            for row in pdf.itertuples(index=False):
+            if not len(pdf):
+                continue
+            # column-wise everywhere the work is per-string: host split,
+            # caption hashing, output assembly. Only the decode/PSNR loop
+            # is per-image (inherently per-payload), plus the politeness
+            # sleep (inherently sequential within a host bucket).
+            hosts = pdf["image_id"].map(host_of)
+            caption_sha = pdf["caption"].map(
+                lambda c: hashlib.sha256(c.encode()).hexdigest()
+            )
+            n = len(pdf)
+            phash_decoded = [0] * n
+            psnr_db = [0.0] * n
+            fetch_ms = [0.0] * n
+            fmts = pdf["fmt"].to_numpy()
+            widths = pdf["w"].to_numpy()
+            heights = pdf["h"].to_numpy()
+            image_ids = pdf["image_id"].to_numpy()
+            payloads = pdf["bytes"].to_numpy()
+            for i in range(n):
                 t0 = time.perf_counter()
-                host = host_of(row.image_id)
                 if min_interval:
+                    host = hosts.iat[i]
                     wait = last_fetch.get(host, 0.0) + min_interval - time.monotonic()
                     if wait > 0:
                         time.sleep(wait)
                     last_fetch[host] = time.monotonic()
-                pixels = decode(bytes(row.bytes), row.fmt)
-                decoded_hash = phash64(pixels)
+                pixels = decode(bytes(payloads[i]), fmts[i])
+                phash_decoded[i] = phash64(pixels)
                 # true reference pixels are a pure function of image_id in
                 # the fixture world, so the PSNR invariant is end-to-end:
                 # lossless must round-trip exactly, lossy must stay ≥40 dB
-                reference = _pixels_for(row.image_id, int(row.w), int(row.h))
-                db = psnr(reference, pixels)
-                ok = db == float("inf") if row.fmt == "png" else db >= 40.0
-                out["node"].append(row.node)
-                out["image_id"].append(row.image_id)
-                out["host"].append(host)
-                out["wave"].append(row.wave)
-                out["depth"].append(row.depth)
-                out["seq"].append(row.seq)
-                out["caption_sha"].append(hashlib.sha256(row.caption.encode()).hexdigest())
-                out["phash_decoded"].append(decoded_hash)
-                out["phash_match"].append(bool(decoded_hash == row.phash))
-                out["psnr_db"].append(db)
-                out["psnr_ok"].append(bool(ok))
-                out["fetch_ms"].append((time.perf_counter() - t0) * 1000.0)
-            yield pd.DataFrame(out)
+                reference = _pixels_for(image_ids[i], int(widths[i]), int(heights[i]))
+                psnr_db[i] = psnr(reference, pixels)
+                fetch_ms[i] = (time.perf_counter() - t0) * 1000.0
+            psnr_s = pd.Series(psnr_db)
+            yield pd.DataFrame({
+                "node": pdf["node"].to_numpy(),
+                "image_id": image_ids,
+                "host": hosts.to_numpy(),
+                "wave": pdf["wave"].to_numpy(),
+                "depth": pdf["depth"].to_numpy(),
+                "seq": pdf["seq"].to_numpy(),
+                "caption_sha": caption_sha.to_numpy(),
+                "phash_decoded": phash_decoded,
+                "phash_match": pd.Series(phash_decoded).eq(pdf["phash"].reset_index(drop=True)),
+                "psnr_db": psnr_s,
+                "psnr_ok": (psnr_s == float("inf")).where(
+                    pd.Series(fmts) == "png", psnr_s >= 40.0
+                ),
+                "fetch_ms": fetch_ms,
+            })
 
     return fetch_kernel

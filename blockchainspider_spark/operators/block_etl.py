@@ -204,11 +204,14 @@ def bloom_dedup_new_contracts(
     comes from the anti-join (SURVEY U5 contract)."""
     from blockchainspider_spark.functions.bloom import NumpyBloom
 
-    known_keys = [r.contract_address for r in known.select("contract_address").collect()]
-    if not known_keys:
+    n_known = known.count()
+    if not n_known:
         return contract_dim
-    bloom = NumpyBloom(len(known_keys), fpp)
-    bloom.add_many(known_keys)
+    # distributed build: per-partition bit arrays OR-merged on the driver
+    # — driver traffic is n_partitions × n_bits/8, independent of row
+    # count, so a large `known` dimension never lands on the driver
+    bloom = NumpyBloom(n_known, fpp)
+    bloom.union_from_dataframe(known, "contract_address")
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
