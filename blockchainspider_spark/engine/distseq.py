@@ -35,14 +35,14 @@ class SeqAssignment:
     df: DataFrame          # input columns + `seq_col` (long), `key_cols` intact
     total: int             # number of rows that received a seq
     driver_rows: int       # rows materialized on the driver (≤ n_partitions)
-    _persisted: DataFrame | None
+    _persisted: tuple[DataFrame, ...] = ()
 
     def cleanup(self) -> None:
-        """Unpersist the internal range-sorted intermediate. Call after
-        ``df`` has been materialized (e.g. written to parquet)."""
-        if self._persisted is not None:
-            self._persisted.unpersist()
-            self._persisted = None
+        """Unpersist the internal intermediates. Call after ``df`` has
+        been materialized (e.g. written to parquet)."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = ()
 
 
 def assign_global_seq(
@@ -63,8 +63,15 @@ def assign_global_seq(
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     keys = [F.col(c).asc() for c in key_cols]
 
+    # persist the INPUT before the range exchange: RangePartitioner runs a
+    # sampling pass over its child, so an unpersisted input would have its
+    # whole upstream pipeline (expand join, anti-join, groupBy) computed
+    # twice — once for boundary sampling, once for the real exchange. With
+    # the input cached, the sampling scan fills the cache and every later
+    # pass reads it.
+    src = df.persist()
     ranged = (
-        df.repartitionByRange(n_partitions, *[F.col(c) for c in key_cols])
+        src.repartitionByRange(n_partitions, *[F.col(c) for c in key_cols])
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
@@ -76,8 +83,9 @@ def assign_global_seq(
     total = int(sum(counts.values()))
     if total == 0:
         ranged.unpersist()
+        src.unpersist()
         empty = df.limit(0).withColumn(seq_col, F.lit(None).cast("long"))
-        return SeqAssignment(df=empty, total=0, driver_rows=len(counts), _persisted=None)
+        return SeqAssignment(df=empty, total=0, driver_rows=len(counts))
 
     offsets: dict[int, int] = {}
     acc = 0
@@ -96,4 +104,5 @@ def assign_global_seq(
         )
         .drop("_pid", "_rn")
     )
-    return SeqAssignment(df=out, total=total, driver_rows=len(counts), _persisted=ranged)
+    return SeqAssignment(df=out, total=total, driver_rows=len(counts),
+                         _persisted=(ranged, src))

@@ -62,6 +62,16 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
     ).withColumn("fingerprint", F.sha1("child"))
     anti = candidates.join(state.seen.select("fingerprint"), "fingerprint", "left_anti")
     check("seen anti-join (hash anti join)", anti, ["LeftAnti"])
+
+    # distributed seq assignment: a range exchange + per-partition window
+    # (never a global single-partition sort/window)
+    from blockchainspider_spark.engine.distseq import assign_global_seq
+
+    small = spark.range(0, 1000).select(F.col("id").alias("k1"), F.col("id").alias("node"))
+    asg = assign_global_seq(small, ["k1"], base_seq=0, n_partitions=8)
+    check("distributed seq (range exchange + _pid window)", asg.df,
+          ["rangepartitioning", "Window", "_pid"])
+    asg.cleanup()
     return results
 
 
