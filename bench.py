@@ -46,6 +46,10 @@ def crawl_bench(spark) -> tuple[float, float, int]:
     from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
     from blockchainspider_spark.entry_queries import _bipartite_edges
 
+    # drop DataFrames persisted by earlier gate queries (q_crawl_bfs_seen
+    # persists its levels as scratch) so the crawl engine's own caches
+    # aren't competing with leaked ones
+    spark.catalog.clearCache()
     edges = (
         _bipartite_edges(spark, SF_DIR)
         .select(

@@ -271,20 +271,72 @@ def ann_topk(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def kmeans_train(
+    emb: DataFrame, k: int = 8, iters: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Deterministic: init = the first ``k`` vectors by id; assignment ties
+    break on the lowest centroid id. Each iteration is one Spark job —
+    assign via broadcast-centroid distance argmin, then per-cluster mean
+    (groupBy over posexploded components: a map-side-combining agg, no
+    vectors ever collect except the k centroids themselves). Empty
+    clusters keep their previous centroid."""
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    centroids = [list(map(float, r.v)) for r in base.orderBy("vid").limit(k).collect()]
+    for _ in range(iters):
+        cent_lit = F.array(*[
+            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(x) for x in c]).alias("cv"))
+            for i, c in enumerate(centroids)
+        ])
+        d2 = lambda cv: F.aggregate(  # noqa: E731
+            F.zip_with("v", cv, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, x: s + x
+        )
+        # assignment is a NARROW map: array_min over (d2, cid) structs =
+        # lexicographic min = nearest centroid with lowest-cid tie-break —
+        # no explode, no window, no shuffle until the mean agg
+        nearest = F.array_min(
+            F.transform(cent_lit, lambda c: F.struct(d2(c["cv"]).alias("d2"), c["cid"].alias("cid")))
+        )["cid"]
+        assigned = base.select(nearest.alias("cid"), "v")
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+            .select("cid", F.expr("transform(ms, s -> s.m)").alias("cv"))
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty clusters keep the old centroid
+        for r in means:
+            new_centroids[r.cid] = [float(x) for x in r.cv]
+        centroids = new_centroids
+    return centroids
+
+
 def ann_ivf(
     emb: DataFrame, n_centroids: int = 8, n_queries: int = 3, k: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer cells + search within the probed
-    cell only. The quantizer here is deterministic (centroids = the
-    first ``n_centroids`` vectors) so an exact SQL oracle exists; the
-    production path would train centroids offline (k-means) and keep
-    the same two-stage plan: assign (small broadcast join) → per-cell
-    top-k. nprobe=1: recall traded for a |cells|× candidate cut."""
+    cell only. Default quantizer is deterministic (centroids = the
+    first ``n_centroids`` vectors) so an exact SQL oracle exists; pass
+    ``centroids`` (e.g. from ``kmeans_train``) for the trained path —
+    the plan shape is identical either way: assign (small broadcast
+    join) → per-cell top-k. nprobe=1: recall traded for a |cells|×
+    candidate cut."""
     base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
-    cent = base.where(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv")
-    )
+    if centroids is not None:
+        cent = emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid long, cv array<double>"
+        )
+    else:
+        cent = base.where(F.col("vid") < n_centroids).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv")
+        )
     dist = F.aggregate(
         F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x
     )

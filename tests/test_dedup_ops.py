@@ -59,6 +59,46 @@ def test_cosine_pairs_guard_refuses_large_collect(spark):
         D.cosine_pairs(big, max_rows=50_000)
 
 
+def test_kmeans_train_matches_numpy_lloyds(spark):
+    """Distributed Lloyd's k-means equals an independent numpy
+    implementation: same deterministic init (first k by id), same
+    iteration count, lowest-cid tie-break, empty clusters frozen."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = np.round(rng.standard_normal((60, 4)), 3)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [list(map(float, v)) for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+
+    got = np.array(D.kmeans_train(emb, k=4, iters=3))
+
+    cent = vecs[:4].astype(float).copy()
+    for _ in range(3):
+        d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        for c in range(4):
+            members = vecs[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    assert np.allclose(got, cent, rtol=1e-9, atol=1e-12)
+
+
+def test_ann_ivf_trained_centroids_path(spark):
+    """ann_ivf with kmeans_train centroids keeps the same plan shape and
+    returns valid per-cell top-k (neighbors share the query's cell)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = np.round(rng.standard_normal((80, 4)), 3)
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": [list(map(float, v)) for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    cent = D.kmeans_train(emb, k=4, iters=2)
+    out = D.ann_ivf(emb, n_queries=3, k=2, centroids=cent).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.query_id != r.neighbor_id and 1 <= r.rk <= 2
+
+
 def test_cosine_pairs_small_ok(spark):
     emb = spark.createDataFrame(pd.DataFrame({
         "vec_id": [0, 1, 2],
