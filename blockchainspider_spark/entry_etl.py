@@ -739,6 +739,63 @@ def q_p9_scheme_filter_sql():
     """
 
 
+_STREAM_SEQ = [0]
+
+
+def q_t3_stream_windowed(spark, sf_dir):
+    """T3/S7 (Structured Streaming form): the SAME windowed aggregation
+    contract as the batch oracle, executed as a readStream → watermarked
+    tumbling window → availableNow drain. The gate proves the streaming
+    plan computes exactly what the SQL batch query computes over the
+    same bounded input."""
+    import tempfile
+
+    from blockchainspider_spark.streaming.windowed import (
+        stream_events,
+        windowed_event_counts,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 5000)
+        .select("event_id", "event_type", "ts", "value")
+    )
+    src = tempfile.mkdtemp(prefix="gate-stream-src-")
+    ev.write.mode("overwrite").parquet(src)
+    # parquet readStream surfaces the column as TIMESTAMP_NTZ; event-time
+    # semantics (watermark/window) require TIMESTAMP
+    stream = stream_events(spark, src, ev.schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    result = windowed_event_counts(stream, ts_col="ts", window="1 hour", watermark="2 hours")
+    _STREAM_SEQ[0] += 1
+    name = f"gate_stream_windowed_{_STREAM_SEQ[0]}"
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    return t.select(
+        F.unix_timestamp("window_start").alias("w_start"),
+        F.unix_timestamp("window_end").alias("w_end"),
+        "event_type", "n", "sum_value",
+    )
+
+
+def q_t3_stream_windowed_sql():
+    return """
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS w_start,
+           CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')) AS BIGINT) AS w_end,
+           event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events WHERE event_id < 5000
+    GROUP BY 1, 2, 3
+    """
+
+
 def build_etl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

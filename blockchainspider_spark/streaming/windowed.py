@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def stream_events(spark: SparkSession, src_dir: str, schema: str) -> DataFrame:
+def stream_events(spark: SparkSession, src_dir: str, schema) -> DataFrame:  # str DDL or StructType
     return spark.readStream.schema(schema).parquet(src_dir)
 
 
