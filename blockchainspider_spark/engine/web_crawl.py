@@ -100,12 +100,16 @@ class WebCrawlState:
 
 class WebCrawlEngine:
     def __init__(self, spark: SparkSession, pages: DataFrame, max_depth: int = 3,
-                 work_dir: str | None = None):
+                 work_dir: str | None = None, robots_rules: DataFrame | None = None):
         self.spark = spark
         self.pages = pages.select("url", "html")
         self.max_depth = max_depth
         self._work_dir = work_dir or tempfile.mkdtemp(prefix="webcrawl-")
         self.driver_rows_collected = 0
+        # optional robots gate (T10): (host, path_prefix) disallow rules
+        # applied to candidate links before scheduling; default OFF to
+        # match the reference's ROBOTSTXT_OBEY=False ordering
+        self.robots_rules = robots_rules
 
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self._work_dir, "fetch_log", f"wave={wave:05d}")
@@ -146,6 +150,10 @@ class WebCrawlEngine:
             )
 
         links = fetched.mapInPandas(_parse_links, LINKS_SCHEMA)
+        if self.robots_rules is not None:
+            from blockchainspider_spark.functions.robots import apply_robots_gate
+
+            links = apply_robots_gate(links, self.robots_rules, url_col="link")
         candidates = links.withColumn("fingerprint", request_fp(F.col("link")))
         fresh = candidates.join(state.seen, on="fingerprint", how="left_anti")
         first = fresh.groupBy("fingerprint").agg(

@@ -739,6 +739,46 @@ def q_p9_scheme_filter_sql():
     """
 
 
+def q_t10_robots_gate(spark, sf_dir):
+    """T10: real robots.txt gating — parse (host, robots_txt) documents
+    into disallow prefixes (stdlib-grammar kernel) and drop candidate
+    URLs by host + path-prefix with a broadcast rules join. The oracle
+    recomputes the surviving set from the construction rule."""
+    from blockchainspider_spark.functions.robots import apply_robots_gate, parse_robots
+
+    robots_docs = spark.createDataFrame(
+        [(f"h{i}",
+          "# crawl policy\nUser-agent: bigbot\nDisallow: /\n"
+          f"User-agent: *\nDisallow: /private\nDisallow: /tmp{i}\nDisallow:\n")
+         for i in range(5)],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots_docs)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    i = F.col("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (i % 5).cast("string"),
+            F.when(i % 4 == 0, F.concat(F.lit("/private/x"), i.cast("string")))
+            .when(i % 4 == 1, F.concat(F.lit("/public/"), i.cast("string")))
+            .when(i % 4 == 2, F.concat(F.lit("/tmp"), (i % 5).cast("string"), F.lit("/y")))
+            .otherwise(F.concat(F.lit("/ok/"), i.cast("string"))),
+        ).alias("url"),
+    )
+    return apply_robots_gate(urls, rules)
+
+
+def q_t10_robots_gate_sql():
+    return """
+    SELECT doc_id,
+           'http://h' || (doc_id % 5)::VARCHAR ||
+           CASE WHEN doc_id % 4 = 1 THEN '/public/' || doc_id::VARCHAR
+                ELSE '/ok/' || doc_id::VARCHAR END AS url
+    FROM documents WHERE doc_id < 1000 AND doc_id % 4 IN (1, 3)
+    """
+
+
 _STREAM_SEQ = [0]
 
 

@@ -50,6 +50,51 @@ def test_label_reports_match(engine_res, oracle_res):
     assert len(got) > 0
 
 
+def test_web_crawl_robots_gate(spark, pages_pdf, web_source):
+    """With a disallow-everything-under-/page rule for every host, the
+    crawl never leaves the seed; with no rules it does."""
+    from blockchainspider_spark.functions.robots import parse_robots
+
+    hosts = sorted({h.lower() for h in pages_pdf["host"]})
+    docs = spark.createDataFrame(
+        [(h, "User-agent: *\nDisallow: /page\n") for h in hosts],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(docs)
+    pages_df = spark.createDataFrame(pages_pdf)
+    gated = WebCrawlEngine(spark, pages_df, max_depth=2, robots_rules=rules).run(web_source)
+    assert gated.next_seq == 1  # only the seed was ever fetched
+    open_run = WebCrawlEngine(spark, pages_df, max_depth=2).run(web_source)
+    assert open_run.next_seq > 1
+
+
+def test_robots_parser_agrees_with_stdlib():
+    """T10: our Disallow parsing for '*' agrees with urllib.robotparser
+    (the independent stdlib oracle) on a policy with comments, multiple
+    agents, and a blank Disallow."""
+    import urllib.robotparser
+
+    from blockchainspider_spark.functions.robots import parse_robots_text
+
+    txt = (
+        "# policy\n"
+        "User-agent: bigbot\nDisallow: /\n\n"
+        "User-agent: *\n"
+        "Disallow: /private  # keep out\n"
+        "Disallow: /tmp\n"
+        "Disallow:\n"
+    )
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(txt.splitlines())
+    prefixes = parse_robots_text(txt)
+    assert prefixes == ["/private", "/tmp"]
+    for path, want in [("/private/a", False), ("/tmp/x", False),
+                       ("/public", True), ("/", True)]:
+        blocked = any(path.startswith(p) for p in prefixes)
+        assert (not blocked) == rp.can_fetch("*", f"http://h/{path.lstrip('/')}"), path
+        assert (not blocked) == want
+
+
 def test_textrank_keywords_match_independent_pagerank():
     """F11: keyword ranking equals an independently computed (numpy dense
     power iteration) PageRank over the same co-occurrence graph."""
