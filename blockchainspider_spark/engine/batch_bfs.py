@@ -113,11 +113,17 @@ class BfsWaveEngine:
         self.hot_host_salt = hot_host_salt
         self.lineage_detail = lineage_detail
         self.hooks = hooks  # engine/plugins.WaveHooks (X2/X3 surface)
-        # U5 two-phase seen-dedup: a broadcast Bloom over the seen
-        # fingerprints prunes the anti-join probe side (bloom-negative
-        # candidates are definitely fresh and skip the join); the exact
-        # anti-join stays authoritative for bloom-positives, so results
-        # are identical with the flag on or off — it only cuts shuffle.
+        # U5 two-phase seen-dedup: a Bloom over the seen fingerprints
+        # prunes the anti-join probe side (bloom-negative candidates are
+        # definitely fresh and skip the join); the exact anti-join stays
+        # authoritative for bloom-positives, so results are identical
+        # with the flag on or off — it only cuts shuffle. Modes:
+        #   True      — one NumpyBloom closure-broadcast to tasks (fine
+        #               while the filter fits an executor heap)
+        #   "sharded" — functions/bloom.ShardedBloomTable: bit arrays
+        #               sharded by fingerprint range as a DataFrame,
+        #               probed via cogroup — the 10^10-key form (a
+        #               monolithic 10^10-key filter is ~24 GB)
         self.use_bloom = use_bloom
         self._bloom = None
         self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -154,7 +160,12 @@ class BfsWaveEngine:
             wave=0, frontier=frontier, seen=seen, frontier_size=1,
             next_seq=1, pop_log_df=pops,
         )
-        if self.use_bloom:
+        if self.use_bloom == "sharded":
+            from blockchainspider_spark.functions.bloom import ShardedBloomTable
+
+            self._bloom = ShardedBloomTable(self.spark, n_shards=self.n_shuffle)
+            self._bloom.add(pops, "fingerprint")
+        elif self.use_bloom:
             from blockchainspider_spark.functions.bloom import NumpyBloom
 
             self._bloom = NumpyBloom(1_000_000, 1e-4)
@@ -213,15 +224,18 @@ class BfsWaveEngine:
 
         n_candidates = candidates.count() if self.lineage_detail else None
         if self.use_bloom and self._bloom is not None:
-            bloom = self._bloom
-            from pyspark.sql.functions import pandas_udf
-            from pyspark.sql.types import BooleanType
+            if self.use_bloom == "sharded":
+                flagged = self._bloom.might_contain(candidates, "fingerprint")
+            else:
+                bloom = self._bloom
+                from pyspark.sql.functions import pandas_udf
+                from pyspark.sql.types import BooleanType
 
-            @pandas_udf(BooleanType())
-            def maybe_seen(fps):
-                return bloom.might_contain_series(fps)
+                @pandas_udf(BooleanType())
+                def maybe_seen(fps):
+                    return bloom.might_contain_series(fps)
 
-            flagged = candidates.withColumn("_maybe", maybe_seen(F.col("fingerprint")))
+                flagged = candidates.withColumn("_maybe", maybe_seen(F.col("fingerprint")))
             definitely_fresh = flagged.where(~F.col("_maybe")).drop("_maybe")
             survivors = flagged.where(F.col("_maybe")).drop("_maybe").join(
                 state.seen.select("fingerprint"), on="fingerprint", how="left_anti"
@@ -265,7 +279,10 @@ class BfsWaveEngine:
         wave_pops = self.spark.read.parquet(self._pop_wave_dir(wave))
 
         if self.use_bloom and self._bloom is not None and n_new:
-            self._bloom.union_from_dataframe(wave_pops, "fingerprint")
+            if self.use_bloom == "sharded":
+                self._bloom.add(wave_pops, "fingerprint")
+            else:
+                self._bloom.union_from_dataframe(wave_pops, "fingerprint")
 
         new_frontier = wave_pops.select("node", "depth", "seq", "wave")
         new_seen = state.seen.unionByName(

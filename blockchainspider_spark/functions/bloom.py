@@ -71,3 +71,116 @@ class NumpyBloom:
 
         for r in df.select(col).mapInPandas(build, "bits binary").collect():
             self.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+
+
+def _probe_positions(key: str, n_bits: int, k: int) -> np.ndarray:
+    d = hashlib.md5(str(key).encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return (h1 + np.arange(k, dtype=np.uint64) * np.uint64(h2)) % np.uint64(n_bits)
+
+
+class ShardedBloomTable:
+    """URL-seen Bloom sharded by fingerprint range — the 10^10-key form.
+
+    A monolithic filter for 10^10 keys @ 1e-4 is ~24 GB: unbroadcastable
+    and un-collectable. Here the key space is split into ``n_shards`` by
+    the fingerprint's leading hex digits; each shard's bit array lives as
+    ONE row of a (shard, bits) DataFrame that never leaves the executors:
+
+    * ``add`` — delta bit arrays built per shard (repartition on shard →
+      one numpy blob per shard) and OR-merged into the table with a
+      grouped reduce kernel. Driver sees nothing.
+    * ``might_contain`` — candidates cogrouped with their shard's single
+      bits row (``groupby.cogroup.applyInPandas``): the blob is NOT
+      replicated per candidate row the way a plain join would.
+
+    Semantics match NumpyBloom (same double-hash probes) per shard, so
+    the exact anti-join remains the correctness authority — this only
+    prunes its probe side (U5 contract)."""
+
+    def __init__(self, spark, capacity_per_shard: int = 1_000_000,
+                 fpp: float = 1e-4, n_shards: int = 64):
+        proto = NumpyBloom(capacity_per_shard, fpp)
+        self.spark = spark
+        self.n_bits, self.k = proto.n_bits, proto.k
+        self.n_bytes = len(proto.bits)
+        self.n_shards = n_shards
+        self.bits_df = spark.createDataFrame([], "shard int, bits binary")
+
+    def _shard_col(self, col):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.conv(F.substring(col, 1, 6), 16, 10).cast("long"),
+                      F.lit(self.n_shards)).cast("int")
+
+    def add(self, df, col: str) -> None:
+        """OR a delta of keys into the table (all executor-side)."""
+        from pyspark.sql import functions as F
+
+        n_bits, k, n_bytes = self.n_bits, self.k, self.n_bytes
+
+        def build(batches):
+            local: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                for shard, key in zip(pdf["shard"], pdf[col]):
+                    arr = local.setdefault(int(shard), np.zeros(n_bytes, dtype=np.uint8))
+                    idx = _probe_positions(key, n_bits, k)
+                    np.bitwise_or.at(arr, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+            if local:
+                yield pd.DataFrame({
+                    "shard": list(local), "bits": [a.tobytes() for a in local.values()],
+                })
+
+        delta = (
+            df.select(self._shard_col(F.col(col)).alias("shard"), col)
+            .repartition("shard")
+            .mapInPandas(build, "shard int, bits binary")
+        )
+
+        def or_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(n_bytes, dtype=np.uint8)
+            for b in pdf["bits"]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [acc.tobytes()]})
+
+        merged = (
+            self.bits_df.unionByName(delta)
+            .groupBy("shard")
+            .applyInPandas(or_reduce, "shard int, bits binary")
+        )
+        old = self.bits_df
+        self.bits_df = merged.persist()
+        self.bits_df.count()
+        old.unpersist()
+
+    def might_contain(self, candidates, col: str):
+        """candidates + boolean ``_maybe`` column (False = definitely new)."""
+        from pyspark.sql import functions as F
+
+        n_bits, k = self.n_bits, self.k
+        out_cols = candidates.columns
+
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return left.assign(_maybe=pd.Series([], dtype=bool))
+            if not len(right):
+                return left.assign(_maybe=False)
+            arr = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+
+            def test(key):
+                idx = _probe_positions(key, n_bits, k)
+                return bool(np.all(arr[idx // 8] & (1 << (idx % 8)).astype(np.uint8)))
+
+            return left.assign(_maybe=left[col].map(test))
+
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        keyed = candidates.withColumn("shard", self._shard_col(F.col(col)))
+        schema = StructType(list(keyed.schema.fields) + [StructField("_maybe", BooleanType())])
+        return (
+            keyed.groupby("shard")
+            .cogroup(self.bits_df.groupby("shard"))
+            .applyInPandas(probe, schema)
+            .select(*out_cols, "_maybe")
+        )

@@ -31,6 +31,43 @@ def test_exact_engine_resume_identical(spark, edges_df, source, tmp_path, strate
         assert abs(resumed.ranks[k] - full.ranks[k]) <= 1e-12
 
 
+def test_sharded_bloom_semantics(spark):
+    """ShardedBloomTable: no false negatives ever; false positives rare;
+    incremental adds accumulate; blobs never reach the driver."""
+    from pyspark.sql import functions as F
+
+    from blockchainspider_spark.functions.bloom import ShardedBloomTable
+
+    bloom = ShardedBloomTable(spark, capacity_per_shard=10_000, n_shards=8)
+    keys1 = spark.range(0, 3000).select(F.sha1(F.concat(F.lit("a"), F.col("id"))).alias("fp"))
+    keys2 = spark.range(0, 2000).select(F.sha1(F.concat(F.lit("b"), F.col("id"))).alias("fp"))
+    bloom.add(keys1, "fp")
+    bloom.add(keys2, "fp")
+
+    members = keys1.unionByName(keys2)
+    got = bloom.might_contain(members, "fp")
+    assert got.where(~F.col("_maybe")).count() == 0  # no false negatives
+
+    absent = spark.range(0, 3000).select(F.sha1(F.concat(F.lit("z"), F.col("id"))).alias("fp"))
+    fp_rate = bloom.might_contain(absent, "fp").where(F.col("_maybe")).count() / 3000
+    assert fp_rate < 0.01  # fpp 1e-4 design point, generous bound
+
+    # the bits table stays a DataFrame with one row per touched shard
+    assert bloom.bits_df.count() <= 8
+
+
+def test_sharded_bloom_prefilter_identical_crawl(spark, edges_df, source):
+    """use_bloom='sharded' (cogroup-probed, never broadcast) must also be
+    result-invisible."""
+    plain, _, _ = BfsWaveEngine(spark, edges_df, max_depth=2).run(
+        source, collect_transfers=False
+    )
+    sharded, _, _ = BfsWaveEngine(spark, edges_df, max_depth=2, use_bloom="sharded").run(
+        source, collect_transfers=False
+    )
+    assert sharded.pop_log == plain.pop_log
+
+
 def test_bloom_prefilter_identical_crawl(spark, edges_df, source):
     """use_bloom changes the physical plan (pre-filter before the exact
     anti-join) but never the result."""
