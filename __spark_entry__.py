@@ -21,35 +21,15 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: wave-batched BFS crawl (depth 2) over the customer↔part
     bipartite graph of sf0.001; returns the crawl-order log
     (seq, node, depth) — the north rule's pop-order contract."""
-    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
-    from blockchainspider_spark.entry_queries import _bipartite_edges
-
-    sf_dir = "/root/testdata/sf0.001"
-    edges = _bipartite_edges(spark, sf_dir).withColumnRenamed("src", "address_from") \
-        .withColumnRenamed("dst", "address_to")
     from pyspark.sql import functions as F
 
-    edges = edges.select(
-        F.sha1(F.concat_ws("_", "address_from", "address_to")).alias("id"),
-        F.lit("0x0").alias("hash"),
-        "address_from",
-        "address_to",
-        F.lit("1").alias("value"),
-        F.lit("").alias("token_id"),
-        F.lit(0).cast("long").alias("timestamp"),
-        F.lit(0).cast("long").alias("block_number"),
-        F.lit("0x" + "0" * 40).alias("contract_address"),
-        F.lit("native").alias("symbol"),
-        F.lit(18).alias("decimals"),
-        F.lit("0").alias("gas"),
-        F.lit("0").alias("gas_price"),
-    ).dropDuplicates(["id"])
-    engine = BfsWaveEngine(spark, edges, images=None, max_depth=2)
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+    from blockchainspider_spark.entry_crawl import _edges_as_transfers
+
+    sf_dir = "/root/testdata/sf0.001"
+    engine = BfsWaveEngine(spark, _edges_as_transfers(spark, sf_dir), max_depth=2)
     state, _, _ = engine.run("c1", collect_transfers=False)
-    return spark.createDataFrame(
-        [(int(s), n, int(d)) for s, n, d in state.pop_log],
-        "seq long, node string, depth int",
-    )
+    return state.pop_log_df.select("seq", "node", F.col("depth").cast("int").alias("depth"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -17,9 +17,12 @@ from blockchainspider_spark.entry_queries import _bipartite_edges
 
 
 def _edges_as_transfers(spark, sf_dir):
+    # md5 (not sha1) ids: the canonical expansion order ranks by id, and
+    # the DuckDB oracle for the pop-order contract must derive the same
+    # ids (DuckDB has no sha1)
     e = _bipartite_edges(spark, sf_dir)
     return e.select(
-        F.sha1(F.concat_ws("_", "src", "dst")).alias("id"),
+        F.md5(F.concat_ws("_", "src", "dst")).alias("id"),
         F.lit("0x0").alias("hash"),
         F.col("src").alias("address_from"),
         F.col("dst").alias("address_to"),
@@ -36,16 +39,68 @@ def _edges_as_transfers(spark, sf_dir):
 
 
 def q_crawl_bfs_pop_order(spark, sf_dir):
-    """Distributed BFS crawl-order log (seq, node, depth) — rows-only:
-    the FIFO pop order is pinned against the oracle in tests, not SQL."""
+    """Distributed BFS crawl-order log (seq, node, depth) — the north
+    rule's exact-ordering contract, now with a full relational oracle:
+    the first-enqueue key (parent_seq, edge_rank, endpoint_slot) is
+    windowed SQL, so DuckDB re-derives the entire pop sequence."""
     from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
 
     engine = BfsWaveEngine(spark, _edges_as_transfers(spark, sf_dir), max_depth=2)
     state, _, _ = engine.run("c1", collect_transfers=False)
-    return spark.createDataFrame(
-        [(int(s), n, int(d)) for s, n, d in state.pop_log],
-        "seq long, node string, depth int",
+    return state.pop_log_df.select("seq", "node", F.col("depth").cast("int").alias("depth"))
+
+
+def q_crawl_bfs_pop_order_sql():
+    # the engine's ordering contract in SQL: per wave, expansions ranked
+    # by edge id within each parent; candidates keyed
+    # (parent_seq, edge_rank, slot) — encoded as one BIGINT for the min —
+    # deduped against seen, then row_number over the min key = seq
+    return """
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    ed AS (SELECT src, dst, md5(src || '_' || dst) AS id FROM e),
+    w1_exp AS (
+      SELECT src, dst, row_number() OVER (ORDER BY id) AS erank
+      FROM ed WHERE src = 'c1' OR dst = 'c1'
+    ),
+    w1_cand AS (
+      SELECT CASE s.slot WHEN 0 THEN src ELSE dst END AS child, erank, s.slot
+      FROM w1_exp CROSS JOIN (VALUES (0), (1)) s(slot)
+    ),
+    w1_first AS (
+      SELECT child, min(erank * 2 + slot) AS k
+      FROM w1_cand WHERE child <> 'c1' GROUP BY child
+    ),
+    w1 AS (
+      SELECT child AS node, row_number() OVER (ORDER BY k) AS seq FROM w1_first
+    ),
+    w2_exp AS (
+      SELECT w1.seq AS pseq, ed.src, ed.dst,
+             row_number() OVER (PARTITION BY w1.node ORDER BY ed.id) AS erank
+      FROM w1 JOIN ed ON ed.src = w1.node OR ed.dst = w1.node
+    ),
+    w2_cand AS (
+      SELECT CASE s.slot WHEN 0 THEN src ELSE dst END AS child,
+             pseq, erank, s.slot AS slot
+      FROM w2_exp CROSS JOIN (VALUES (0), (1)) s(slot)
+    ),
+    w2_first AS (
+      SELECT child, min(pseq * 1000000000 + erank * 2 + slot) AS k
+      FROM w2_cand
+      WHERE child <> 'c1' AND child NOT IN (SELECT node FROM w1)
+      GROUP BY child
+    ),
+    w2 AS (
+      SELECT child AS node,
+             (SELECT max(seq) FROM w1) + row_number() OVER (ORDER BY k) AS seq
+      FROM w2_first
     )
+    SELECT CAST(0 AS BIGINT) AS seq, 'c1' AS node, 0 AS depth
+    UNION ALL SELECT CAST(seq AS BIGINT), node, 1 FROM w1
+    UNION ALL SELECT CAST(seq AS BIGINT), node, 2 FROM w2
+    """
 
 
 def q_strat_haircut_push(spark, sf_dir):
