@@ -46,8 +46,17 @@ def host_of(image_id: str) -> str:
         return ""
 
 
-def make_fetch_kernel(qps: float | None = None):
-    """Build a mapInPandas kernel closing over the politeness budget."""
+def make_fetch_kernel(qps: float | None = None, proxy: str | None = None):
+    """Build a mapInPandas kernel closing over the politeness budget.
+
+    ``proxy`` models the reference's SOCKS5/Tor path (S17,
+    middlewares/tor.py:15-72): all proxied fetches funnel through ONE
+    bottleneck, so the pacing key collapses from per-host to the proxy
+    itself — the token bucket serializes across hosts exactly as the Tor
+    middleware's semaphore does. The actual socket hop is a no-op in
+    this sandbox (payloads come from the images table), but the
+    scheduling semantics — the part that affects crawl behavior — are
+    real."""
 
     def fetch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_fetch: dict[str, float] = {}
@@ -75,11 +84,11 @@ def make_fetch_kernel(qps: float | None = None):
             for i in range(n):
                 t0 = time.perf_counter()
                 if min_interval:
-                    host = hosts.iat[i]
-                    wait = last_fetch.get(host, 0.0) + min_interval - time.monotonic()
+                    bucket = proxy if proxy is not None else hosts.iat[i]
+                    wait = last_fetch.get(bucket, 0.0) + min_interval - time.monotonic()
                     if wait > 0:
                         time.sleep(wait)
-                    last_fetch[host] = time.monotonic()
+                    last_fetch[bucket] = time.monotonic()
                 pixels = decode(bytes(payloads[i]), fmts[i])
                 phash_decoded[i] = phash64(pixels)
                 # true reference pixels are a pure function of image_id in

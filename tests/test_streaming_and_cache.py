@@ -95,6 +95,33 @@ def test_politeness_pacing(spark, edges_df, images_df, source):
     assert elapsed >= (n - 1) / 25.0, f"pacing violated: {elapsed:.3f}s for {n} fetches"
 
 
+def test_proxy_funnel_pacing(spark, images_df):
+    """S17: with a proxy, fetches of DIFFERENT hosts share one token
+    bucket (the Tor middleware's single-bottleneck semantics) — total
+    wall ≥ (n−1)/qps even though per-host pacing alone would not pace
+    distinct hosts against each other."""
+    from blockchainspider_spark.functions.payload import (
+        FETCH_RESULT_SCHEMA,
+        make_fetch_kernel,
+    )
+
+    multi = images_df.limit(6).select(
+        "node", "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        F.lit(1).alias("depth"), F.lit(0).cast("long").alias("seq"),
+        F.lit(1).alias("wave"), F.lit("mix").alias("host_bucket"),
+    ).coalesce(1)
+    n = multi.count()
+    assert multi.select(F.regexp_extract("image_id", r"img://([^/]+)/", 1)).distinct().count() > 1
+
+    t0 = time.monotonic()
+    rows = multi.mapInPandas(
+        make_fetch_kernel(qps=25.0, proxy="socks5://tor:9050"), FETCH_RESULT_SCHEMA
+    ).collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == n
+    assert elapsed >= (n - 1) / 25.0, f"proxy funnel not paced: {elapsed:.3f}s"
+
+
 def test_robots_gate(spark, edges_df, source, edges_pdf):
     """Disallowed nodes never enter the frontier when the gate is on."""
     from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
