@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--resume-wave", type=int, default=None)
+    ap.add_argument("--bloom", choices=["off", "broadcast", "sharded"], default="off",
+                    help="URL-seen Bloom pre-filter mode (sharded = 10^10-key form)")
     ap.add_argument("--demo", action="store_true")
     args = ap.parse_args()
     if not args.demo and (not args.edges or not args.source):
@@ -63,9 +65,11 @@ def main():
     if args.strategy == "BFS":
         from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
 
+        use_bloom = {"off": False, "broadcast": True, "sharded": "sharded"}[args.bloom]
         engine = BfsWaveEngine(
             spark, edges, images=images, max_depth=args.depth,
             checkpoint_dir=args.checkpoint, qps=args.qps, lineage_detail=True,
+            use_bloom=use_bloom,
         )
         if args.resume_wave is not None:
             state = engine.resume(args.resume_wave)
