@@ -739,6 +739,64 @@ def q_p9_scheme_filter_sql():
     """
 
 
+def q_k8b_motif_triangles(spark, sf_dir):
+    """K8/A15: the REAL 16-dim motif kernel's unidirectional mass (slot 1)
+    and cyclic-triangle motif M1 (slot 3) gated against relational
+    algebra — the edge direction is anti-symmetric by construction (no
+    bidirectional pairs), so M1 reduces to a weighted triple self-join
+    the oracle can express."""
+    from blockchainspider_spark.operators.motif import motif_vectors_by_tx
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1500)
+    x = (F.col("l_suppkey") % 12).cast("int")
+    y = (F.col("l_partkey") % 12).cast("int")
+    lo, hi = F.least(x, y), F.greatest(x, y)
+    src_n = F.when((lo + hi) % 2 == 0, lo).otherwise(hi)
+    dst_n = F.when((lo + hi) % 2 == 0, hi).otherwise(lo)
+    edges = li.where(x != y).select(
+        F.col("l_orderkey").cast("string").alias("transaction_hash"),
+        F.concat(F.lit("n"), src_n.cast("string")).alias("address_from"),
+        F.concat(F.lit("n"), dst_n.cast("string")).alias("address_to"),
+    )
+    return motif_vectors_by_tx(edges).select(
+        F.col("transaction_hash").alias("tx"),
+        F.round("M1", 6).alias("u_mass"),
+        F.round("M3", 6).alias("m1_triangles"),
+    )
+
+
+def q_k8b_motif_triangles_sql():
+    return """
+    WITH raw AS (
+      SELECT l_orderkey::VARCHAR AS tx,
+             l_suppkey % 12 AS x, l_partkey % 12 AS y
+      FROM lineitem WHERE l_orderkey < 1500 AND l_suppkey % 12 <> l_partkey % 12
+    ),
+    dird AS (
+      SELECT tx,
+             CASE WHEN (least(x,y) + greatest(x,y)) % 2 = 0 THEN least(x,y) ELSE greatest(x,y) END AS s,
+             CASE WHEN (least(x,y) + greatest(x,y)) % 2 = 0 THEN greatest(x,y) ELSE least(x,y) END AS d
+      FROM raw
+    ),
+    pe AS (SELECT tx, s, d, count(*)::DOUBLE AS w FROM dird GROUP BY 1, 2, 3),
+    singles AS (SELECT tx FROM pe GROUP BY tx HAVING sum(w) = 1),
+    tri AS (
+      SELECT e.tx, e.s, e.d, e.w, count(*) AS nk
+      FROM pe e
+      JOIN pe e2 ON e2.tx = e.tx AND e2.s = e.d
+      JOIN pe e3 ON e3.tx = e.tx AND e3.s = e2.d AND e3.d = e.s
+      GROUP BY 1, 2, 3, 4
+    ),
+    m1 AS (SELECT tx, sum(w * nk) / 3.0 AS m1 FROM tri GROUP BY 1)
+    SELECT pe.tx,
+           round(sum(pe.w), 6) AS u_mass,
+           round(CASE WHEN pe.tx IN (SELECT tx FROM singles) THEN 0.0
+                      ELSE coalesce(any_value(m1.m1), 0.0) END, 6) AS m1_triangles
+    FROM pe LEFT JOIN m1 ON pe.tx = m1.tx
+    GROUP BY pe.tx
+    """
+
+
 def q_t10_robots_gate(spark, sf_dir):
     """T10: real robots.txt gating — parse (host, robots_txt) documents
     into disallow prefixes (stdlib-grammar kernel) and drop candidate
