@@ -390,6 +390,13 @@ class BfsWaveEngine:
         state.seen.repartitionByRange(self.n_shuffle, "fingerprint").write.mode(
             "overwrite"
         ).parquet(os.path.join(d, "seen"))
+        # the sharded bloom's (shard, bits) table snapshots alongside the
+        # seen set so a resumed crawl keeps its pre-filter instead of
+        # silently degrading to exact-anti-join-only
+        if self.use_bloom == "sharded" and self._bloom is not None:
+            self._bloom.bits_df.write.mode("overwrite").parquet(
+                os.path.join(d, "bloom_shards")
+            )
         # scalar metadata only — the pop log itself is the parquet table
         # under pop_log/wave=*, written distributed during run_wave
         with open(os.path.join(d, "meta.json"), "w") as fh:
@@ -424,4 +431,10 @@ class BfsWaveEngine:
 
     def resume(self, wave: int) -> CrawlState:
         """Restart mid-crawl from the snapshot of ``wave``."""
+        bloom_dir = os.path.join(self._wave_dir(wave), "bloom_shards")
+        if self.use_bloom == "sharded" and os.path.exists(bloom_dir):
+            from blockchainspider_spark.functions.bloom import ShardedBloomTable
+
+            self._bloom = ShardedBloomTable(self.spark, n_shards=self.n_shuffle)
+            self._bloom.bits_df = self.spark.read.parquet(bloom_dir).persist()
         return self._reload(wave)

@@ -68,6 +68,26 @@ def test_sharded_bloom_prefilter_identical_crawl(spark, edges_df, source):
     assert sharded.pop_log == plain.pop_log
 
 
+def test_sharded_bloom_survives_resume(spark, edges_df, source, tmp_path):
+    """A resumed sharded-bloom crawl reloads its shard table from the
+    checkpoint and still reproduces the identical pop log."""
+    full, _, _ = BfsWaveEngine(spark, edges_df, max_depth=2).run(
+        source, collect_transfers=False
+    )
+    ckpt = str(tmp_path / "shard-ckpt")
+    engine = BfsWaveEngine(spark, edges_df, max_depth=2,
+                           checkpoint_dir=ckpt, use_bloom="sharded")
+    state = engine.start(source)
+    state, _, _ = engine.run_wave(state)
+    # drop the in-memory bloom entirely; resume must reload it from disk
+    engine._bloom = None
+    resumed = engine.resume(1)
+    assert engine._bloom is not None and engine._bloom.bits_df.count() > 0
+    while resumed.frontier_size > 0 and resumed.wave <= 2:
+        resumed, _, _ = engine.run_wave(resumed)
+    assert resumed.pop_log == full.pop_log
+
+
 def test_bloom_prefilter_identical_crawl(spark, edges_df, source):
     """use_bloom changes the physical plan (pre-filter before the exact
     anti-join) but never the result."""
