@@ -135,6 +135,9 @@ class BfsWaveEngine:
         # (per-partition count rows only); tests assert this stays
         # O(n_partitions) even when a wave carries tens of thousands of URLs
         self.driver_rows_collected = 0
+        # uncheckpointed runs compact the seen union chain to parquet
+        # every N waves (plan depth stays bounded on long crawls)
+        self.seen_compact_every = 8
         # endpoint-exploded edge view: turns the two-sided expand join J1
         # into one equi-join; persisted — every wave re-probes it. At
         # cluster scale, bucket the underlying table by `endpoint` so
@@ -287,7 +290,19 @@ class BfsWaveEngine:
         new_frontier = wave_pops.select("node", "depth", "seq", "wave")
         new_seen = state.seen.unionByName(
             wave_pops.select("fingerprint", "node", "wave")
-        ).persist()
+        )
+        # plan hygiene for long crawls: the seen union gains one branch
+        # per wave; every `seen_compact_every` waves rewrite it to parquet
+        # (range-partitioned on the probe key) and read it back flat.
+        # Checkpointing does this implicitly; this covers uncheckpointed
+        # runs at 10^3+ waves.
+        if self.checkpoint_dir is None and wave % self.seen_compact_every == 0:
+            compact_dir = os.path.join(self._work_dir, f"seen_compact_{wave:05d}")
+            new_seen.repartitionByRange(self.n_shuffle, "fingerprint").write.mode(
+                "overwrite"
+            ).parquet(compact_dir)
+            new_seen = self.spark.read.parquet(compact_dir)
+        new_seen = new_seen.persist()
         if self._prev_seen is not None:
             self._prev_seen.unpersist()
         self._prev_seen = state.seen

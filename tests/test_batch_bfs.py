@@ -100,6 +100,32 @@ def test_big_wave_never_lands_on_driver(spark):
     assert by_seq[1] == "0xchild000000" and by_seq[n_children] == f"0xchild{n_children-1:06d}"
 
 
+def test_seen_compaction_on_deep_crawl(spark):
+    """Uncheckpointed long crawls compact the seen union chain every N
+    waves; the crawl result is unchanged by compaction."""
+    import pandas as pd
+
+    chain = pd.DataFrame({
+        "id": [f"e{i}" for i in range(12)],
+        "hash": "0xh",
+        "address_from": [f"0xn{i}" for i in range(12)],
+        "address_to": [f"0xn{i+1}" for i in range(12)],
+        "value": "1", "token_id": "",
+        "timestamp": range(12), "block_number": range(12),
+        "contract_address": "0x" + "0" * 40, "symbol": "native",
+        "decimals": 18, "gas": "0", "gas_price": "0",
+    })
+    edges = spark.createDataFrame(chain)
+    compacting = BfsWaveEngine(spark, edges, max_depth=12)
+    compacting.seen_compact_every = 3
+    got, _, _ = compacting.run("0xn0", collect_transfers=False)
+    plain_engine = BfsWaveEngine(spark, edges, max_depth=12)
+    plain_engine.seen_compact_every = 10_000  # effectively off
+    want, _, _ = plain_engine.run("0xn0", collect_transfers=False)
+    assert got.pop_log == want.pop_log
+    assert got.next_seq == 13  # the whole chain was reached
+
+
 def test_checkpoint_resume(spark, edges_df, images_df, source, oracle_result, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     engine = BfsWaveEngine(spark, edges_df, images=images_df, max_depth=2, checkpoint_dir=ckpt)
