@@ -70,6 +70,22 @@ def crawl_bench(spark) -> tuple[float, float, int]:
         .dropDuplicates(["id"])
     )
     edges.persist().count()
+    # warmup crawl: the first pass through the wave pipeline pays JVM
+    # JIT + whole-stage-codegen compilation for every distinct stage
+    # shape (measured: 16-34s cold vs 4-6s warm for the same crawl on
+    # this host) — run a depth-1 crawl on a small edge sample first so
+    # the timed run measures the engine, not JVM compilation
+    warm_edges = (
+        edges.where((F.col("address_from") == "c1") | (F.col("address_to") == "c1"))
+        .unionByName(edges.limit(5000))
+        .dropDuplicates(["id"])
+        .persist()
+    )
+    warm_edges.count()
+    BfsWaveEngine(spark, warm_edges, images=None, max_depth=1).run(
+        "c1", collect_transfers=False
+    )
+    warm_edges.unpersist()
     engine = BfsWaveEngine(spark, edges, images=None, max_depth=2)
     t0 = time.monotonic()
     state, _, _ = engine.run("c1", collect_transfers=False)
@@ -98,6 +114,12 @@ def main():
     spark.range(2048).selectExpr("cast(id as string) as node").mapInPandas(
         lambda it: it, "node string"
     ).count()
+    # first parquet WRITE of a session pays ~2s of committer/codec init
+    # (measured); warm it so crawl timings measure the engine, not JVM
+    # one-time setup
+    import tempfile
+    with tempfile.TemporaryDirectory() as wtmp:
+        spark.range(16).write.mode("overwrite").parquet(os.path.join(wtmp, "w"))
 
     timings = {}
     for name in HEADLINE:

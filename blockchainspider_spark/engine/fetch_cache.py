@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -37,16 +39,46 @@ class CachedFetcher:
     ``broadcast_threshold``: the cache is broadcast into the pre-fetch
     join only while it stays small; past the threshold it joins
     shuffle-side (hash-partitioned on cache_key) — an unbounded response
-    cache must never be forced through a driver/executor broadcast."""
+    cache must never be forced through a driver/executor broadcast.
+
+    Maintenance is incremental: per wave the cache only APPENDS the
+    within-wave-deduped miss responses (misses are definitionally absent
+    from the cache — the pre-fetch left join is the anti-join), so
+    per-wave maintenance work is O(delta), never O(|cache|). The union
+    chain of delta appends is compacted to a scratch parquet every
+    ``compact_every`` appends, keeping plan depth bounded on long-running
+    crawls; hit/miss counts come from one aggregation over the persisted
+    join (a single job, not two counts)."""
 
     def __init__(self, spark, fetch_fn: Callable[[DataFrame], DataFrame],
-                 broadcast_threshold: int = 1_000_000):
+                 broadcast_threshold: int = 1_000_000, compact_every: int = 8):
         self.spark = spark
         self.fetch_fn = fetch_fn  # df(cache_key,...) -> df(cache_key, response)
         self.cache = spark.createDataFrame([], "cache_key string, response string")
         self.stats: list[CacheStats] = []
         self.broadcast_threshold = broadcast_threshold
+        self.compact_every = compact_every
         self._cache_size = 0
+        self._appends = 0
+        self._deltas: list[DataFrame] = []   # persisted per-wave appends
+        self._prev_joined: DataFrame | None = None
+        self._work_dir: str | None = None
+        self._compact_id = 0
+
+    def _compact(self) -> None:
+        """Rewrite the delta-union chain as one scratch parquet table,
+        hash-partitioned on the probe key; O(|cache|) but amortized over
+        ``compact_every`` waves, and the only non-delta-sized step."""
+        if self._work_dir is None:
+            self._work_dir = tempfile.mkdtemp(prefix="fetchcache-")
+        self._compact_id += 1
+        out = os.path.join(self._work_dir, f"compact_{self._compact_id:05d}")
+        self.cache.repartition("cache_key").write.mode("overwrite").parquet(out)
+        for d in self._deltas:
+            d.unpersist()
+        self._deltas = []
+        self._appends = 0
+        self.cache = self.spark.read.parquet(out)
 
     def fetch(self, requests: DataFrame) -> DataFrame:
         """requests must carry a ``cache_key`` column; returns
@@ -56,20 +88,35 @@ class CachedFetcher:
             if self._cache_size <= self.broadcast_threshold
             else self.cache
         )
-        joined = requests.join(cache, on="cache_key", how="left")
-        hits = joined.where(F.col("response").isNotNull()).select("cache_key", "response")
-        misses = joined.where(F.col("response").isNull()).drop("response")
-        n_hits, n_miss = hits.count(), misses.count()
-        fetched = self.fetch_fn(misses) if n_miss else None
+        if self._prev_joined is not None:
+            self._prev_joined.unpersist()
+        joined = requests.join(cache, on="cache_key", how="left").persist()
+        self._prev_joined = joined
+        agg = joined.agg(
+            F.count("response").alias("hits"),
+            F.count(F.when(F.col("response").isNull(), F.lit(1))).alias("misses"),
+        ).collect()[0]
+        n_hits, n_miss = int(agg["hits"]), int(agg["misses"])
         self.stats.append(CacheStats(hits=n_hits, misses=n_miss))
-        if fetched is not None:
-            self.cache = (
-                self.cache.unionByName(fetched.select("cache_key", "response"))
-                .dropDuplicates(["cache_key"])
-            )
-            self._cache_size = self.cache.persist().count()
-            return hits.unionByName(fetched.select("cache_key", "response"))
-        return hits
+        hits = joined.where(F.col("response").isNotNull()).select("cache_key", "response")
+        if not n_miss:
+            return hits
+        misses = joined.where(F.col("response").isNull()).drop("response")
+        fetched = self.fetch_fn(misses)
+        # append-only delta: dedup within the wave (same key may miss
+        # twice in one request batch), then union — the left join above
+        # already guarantees the keys are new, so no O(|cache|) rewrite
+        delta = fetched.select("cache_key", "response").dropDuplicates(["cache_key"]).persist()
+        self._cache_size += delta.count()
+        self._deltas.append(delta)
+        self.cache = self.cache.unionByName(delta)
+        self._appends += 1
+        if self._appends >= self.compact_every:
+            self._compact()
+        # serve misses from the persisted delta (one response per miss
+        # row, duplicates included) so the fetch kernel runs exactly once
+        served = misses.select("cache_key").join(delta, on="cache_key", how="inner")
+        return hits.unionByName(served)
 
 
 def fetch_with_retries(

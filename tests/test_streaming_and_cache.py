@@ -77,6 +77,45 @@ def test_fetch_cache_hit_rate(spark):
     assert abs(fetcher.stats[-1].hit_rate - 2 / 3) < 1e-9
 
 
+def test_fetch_cache_incremental_maintenance(spark):
+    """Per-wave cache maintenance is O(delta), not O(|cache|): the cache
+    plan's union depth stays bounded by ``compact_every`` (the delta
+    chain is rewritten to parquet), and every compaction resets the
+    delta list — so a 10^4-wave crawl never re-materializes the full
+    cache per wave."""
+
+    def fetch_fn(misses):
+        return misses.select(
+            "cache_key", F.concat(F.lit("resp:"), F.col("cache_key")).alias("response")
+        )
+
+    fetcher = CachedFetcher(spark, fetch_fn, compact_every=3)
+    union_depths = []
+    for wave in range(7):
+        # each wave: 2 fresh keys + 1 overlap with the previous wave
+        keys = [(f"k{wave}-0",), (f"k{wave}-1",)]
+        if wave:
+            keys.append((f"k{wave-1}-0",))
+        out = fetcher.fetch(spark.createDataFrame(keys, "cache_key string"))
+        assert out.count() == len(keys)
+        plan = fetcher.cache._jdf.queryExecution().optimizedPlan().toString()
+        union_depths.append(plan.count("Union"))
+    # union depth is periodic (resets to a flat parquet scan at every
+    # compaction), never monotone-growing with wave count
+    assert union_depths[2] == 0 and union_depths[5] == 0, union_depths
+    assert union_depths[3] == union_depths[0] and union_depths[4] == union_depths[1], (
+        "post-compaction cycle must repeat the first cycle's plan shape: %s" % union_depths
+    )
+    # overlapping keys were hits (1 per wave after the first)
+    assert [s.hits for s in fetcher.stats] == [0] + [1] * 6
+    assert [s.misses for s in fetcher.stats] == [2] * 7
+    # post-compaction cache still serves correct responses
+    final = fetcher.fetch(spark.createDataFrame([("k0-1",), ("zz",)], "cache_key string"))
+    got = {r.cache_key: r.response for r in final.collect()}
+    assert got == {"k0-1": "resp:k0-1", "zz": "resp:zz"}
+    assert fetcher._cache_size == 15
+
+
 def test_politeness_pacing(spark, edges_df, images_df, source):
     """qps pacing must serialize same-host fetches: ≥ (n−1)/qps seconds."""
     from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
