@@ -414,16 +414,19 @@ class BfsWaveEngine:
             )
         # scalar metadata only — the pop log itself is the parquet table
         # under pop_log/wave=*, written distributed during run_wave
+        meta = {
+            "wave": state.wave,
+            "frontier_size": state.frontier_size,
+            "next_seq": state.next_seq,
+            "lineage": state.lineage,
+        }
+        if self.use_bloom == "sharded" and self._bloom is not None:
+            # the bloom's geometry (shard routing + probe params) belongs
+            # to the persisted bits, not to whatever session resumes —
+            # resume() reconstructs from this, never from live config
+            meta["bloom"] = self._bloom.meta()
         with open(os.path.join(d, "meta.json"), "w") as fh:
-            json.dump(
-                {
-                    "wave": state.wave,
-                    "frontier_size": state.frontier_size,
-                    "next_seq": state.next_seq,
-                    "lineage": state.lineage,
-                },
-                fh,
-            )
+            json.dump(meta, fh)
 
     def _pop_log_upto(self, wave: int) -> DataFrame:
         paths = [self._pop_wave_dir(i) for i in range(wave + 1)
@@ -445,11 +448,32 @@ class BfsWaveEngine:
         )
 
     def resume(self, wave: int) -> CrawlState:
-        """Restart mid-crawl from the snapshot of ``wave``."""
-        bloom_dir = os.path.join(self._wave_dir(wave), "bloom_shards")
+        """Restart mid-crawl from the snapshot of ``wave``. The bloom
+        pre-filter (either form) is restored too — never silently
+        degraded to exact-anti-join-only."""
+        d = self._wave_dir(wave)
+        bloom_dir = os.path.join(d, "bloom_shards")
         if self.use_bloom == "sharded" and os.path.exists(bloom_dir):
             from blockchainspider_spark.functions.bloom import ShardedBloomTable
 
-            self._bloom = ShardedBloomTable(self.spark, n_shards=self.n_shuffle)
-            self._bloom.bits_df = self.spark.read.parquet(bloom_dir).persist()
-        return self._reload(wave)
+            with open(os.path.join(d, "meta.json")) as fh:
+                meta = json.load(fh)
+            if "bloom" not in meta:
+                raise ValueError(
+                    f"checkpoint {d} has bloom_shards but no bloom geometry in "
+                    "meta.json — refusing to guess shard routing (a wrong "
+                    "n_shards yields silent Bloom false negatives)"
+                )
+            self._bloom = ShardedBloomTable.from_meta(
+                self.spark, meta["bloom"], self.spark.read.parquet(bloom_dir).persist()
+            )
+        state = self._reload(wave)
+        if self.use_bloom is True:
+            from blockchainspider_spark.functions.bloom import NumpyBloom
+
+            # the broadcast filter isn't checkpointed (it's derivable):
+            # rebuild it from the reloaded seen set so the pre-filter
+            # survives resume instead of staying None
+            self._bloom = NumpyBloom(1_000_000, 1e-4)
+            self._bloom.union_from_dataframe(state.seen, "fingerprint")
+        return state

@@ -167,9 +167,9 @@ class VecHaircut(VecStrategy):
                 continue
             if v > best_v:
                 best, best_v = n, v
-        self.visited.add(best)
         if best is None:
             return None, {}
+        self.visited.add(best)
         return best, {"weight": best_v}
 
     def ranks(self):

@@ -172,7 +172,12 @@ def btc_address(idx: int, valid: bool = True) -> str:
     while n:
         n, r = divmod(n, 58)
         out.append(alphabet[r])
-    return "1" + "".join(reversed(out))
+    # base58check encodes EACH leading zero byte of (version+hash160) as
+    # one '1' — hardcoding a single '1' would make any payload whose
+    # hash160 starts with 0x00 (~1/256 per idx) one byte short and turn
+    # a planted positive into a gate flake
+    n_zeros = len(raw + checksum) - len((raw + checksum).lstrip(b"\x00"))
+    return "1" * n_zeros + "".join(reversed(out))
 
 
 def make_web_pages(n_pages: int = 40, seed: int = 42, n_hosts: int = 4) -> pd.DataFrame:

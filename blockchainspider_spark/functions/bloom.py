@@ -108,6 +108,28 @@ class ShardedBloomTable:
         self.n_shards = n_shards
         self.bits_df = spark.createDataFrame([], "shard int, bits binary")
 
+    def meta(self) -> dict:
+        """Geometry that must survive a checkpoint: shard routing and
+        probe parameters. A table reloaded under different geometry would
+        hash probes to the wrong shard/bit — silent false negatives."""
+        return {"n_shards": self.n_shards, "n_bits": self.n_bits,
+                "k": self.k, "n_bytes": self.n_bytes}
+
+    @classmethod
+    def from_meta(cls, spark, meta: dict, bits_df) -> "ShardedBloomTable":
+        """Reconstruct a table from checkpointed geometry + bits rows —
+        never re-derive geometry from live session config (shard count
+        and probe params are properties of the persisted bits, not of
+        the resuming session)."""
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.n_shards = int(meta["n_shards"])
+        self.n_bits = int(meta["n_bits"])
+        self.k = int(meta["k"])
+        self.n_bytes = int(meta["n_bytes"])
+        self.bits_df = bits_df
+        return self
+
     def _shard_col(self, col):
         from pyspark.sql import functions as F
 

@@ -25,19 +25,39 @@ ROBOTS_RULES_SCHEMA = "host string, path_prefix string"
 
 
 def parse_robots_text(txt: str) -> list[str]:
-    """Disallow path-prefixes for User-agent * (pure core, oracle-shared)."""
+    """Disallow path-prefixes for User-agent * (pure core, oracle-shared).
+
+    Entry grammar follows ``urllib.robotparser``: consecutive User-agent
+    lines form ONE entry whose rules apply to every listed agent (a UA
+    line only starts a new entry after rule lines or a blank line), and
+    rule paths are normalized to robotparser's canonical encoded form
+    ``quote(unquote(path))`` — '/enc%20oded' and '/enc oded' both become
+    '/enc%20oded', the form a canonicalized URL path carries, so the
+    JVM-side prefix match compares like with like."""
+    from urllib.parse import quote, unquote
+
     prefixes: list[str] = []
-    applies = False
+    applies = False    # current entry lists '*' among its user-agents
+    in_rules = False   # current entry has seen rule lines
     for raw in (txt or "").splitlines():
         line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
+        if not line:
+            # blank line terminates the entry (partial UA-only entries
+            # are discarded, matching robotparser state 1 → 0)
+            applies = in_rules = False
+            continue
+        if ":" not in line:
             continue
         key, _, value = line.partition(":")
         key, value = key.strip().lower(), value.strip()
         if key == "user-agent":
-            applies = value == "*"
-        elif key == "disallow" and applies and value:
-            prefixes.append(value)
+            if in_rules:  # rules already seen → this UA starts a NEW entry
+                applies = in_rules = False
+            applies = applies or value == "*"
+        elif key in ("disallow", "allow"):
+            in_rules = True
+            if key == "disallow" and applies and value:
+                prefixes.append(quote(unquote(value)))
     return prefixes
 
 

@@ -88,6 +88,53 @@ def test_sharded_bloom_survives_resume(spark, edges_df, source, tmp_path):
     assert resumed.pop_log == full.pop_log
 
 
+def test_sharded_bloom_resume_geometry_from_meta(spark, edges_df, source, tmp_path):
+    """The bloom's shard routing must come from the checkpoint's recorded
+    geometry, not the resuming session's shuffle-partition count — a
+    session resuming under a different n_shuffle would otherwise hash
+    probes to the wrong shard (silent false negatives → duplicate pops)."""
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "geom-ckpt")
+    engine = BfsWaveEngine(spark, edges_df, max_depth=2,
+                           checkpoint_dir=ckpt, use_bloom="sharded", n_shuffle=8)
+    state = engine.start(source)
+    state, _, _ = engine.run_wave(state)
+    orig_meta = engine._bloom.meta()
+
+    # resume from a differently-configured engine (n_shuffle 3 ≠ 8)
+    engine2 = BfsWaveEngine(spark, edges_df, max_depth=2,
+                            checkpoint_dir=ckpt, use_bloom="sharded", n_shuffle=3)
+    resumed = engine2.resume(1)
+    assert engine2._bloom.meta() == orig_meta, "geometry must survive the session change"
+    # zero false negatives against the reloaded seen set proves probes
+    # still route to the shards the bits were written under
+    flagged = engine2._bloom.might_contain(resumed.seen, "fingerprint")
+    assert flagged.where(~F.col("_maybe")).count() == 0
+
+
+def test_broadcast_bloom_rebuilt_on_resume(spark, edges_df, source, tmp_path):
+    """use_bloom=True: resume() rebuilds the broadcast NumpyBloom from the
+    reloaded seen set instead of leaving the pre-filter silently off."""
+    full, _, _ = BfsWaveEngine(spark, edges_df, max_depth=2, use_bloom=True).run(
+        source, collect_transfers=False
+    )
+    ckpt = str(tmp_path / "np-ckpt")
+    engine = BfsWaveEngine(spark, edges_df, max_depth=2,
+                           checkpoint_dir=ckpt, use_bloom=True)
+    state = engine.start(source)
+    state, _, _ = engine.run_wave(state)
+    engine._bloom = None
+    resumed = engine.resume(1)
+    assert engine._bloom is not None, "pre-filter must survive resume"
+    # every reloaded fingerprint is (correctly) bloom-positive
+    fps = [r.fingerprint for r in resumed.seen.collect()]
+    assert all(engine._bloom.might_contain(fp) for fp in fps)
+    while resumed.frontier_size > 0 and resumed.wave <= 2:
+        resumed, _, _ = engine.run_wave(resumed)
+    assert resumed.pop_log == full.pop_log
+
+
 def test_bloom_prefilter_identical_crawl(spark, edges_df, source):
     """use_bloom changes the physical plan (pre-filter before the exact
     anti-join) but never the result."""

@@ -95,6 +95,40 @@ def test_robots_parser_agrees_with_stdlib():
         assert (not blocked) == want
 
 
+def test_robots_parser_ua_grouping_and_percent_decoding():
+    """Consecutive User-agent lines form ONE entry whose rules apply to
+    all listed agents (robotparser grammar), and rule paths are
+    percent-decoded — both pinned against urllib.robotparser."""
+    import urllib.robotparser
+
+    from blockchainspider_spark.functions.robots import parse_robots_text
+
+    txt = (
+        "User-agent: *\n"
+        "User-agent: googlebot\n"
+        "Disallow: /x\n"
+        "Disallow: /enc%20oded\n"
+        "\n"
+        "User-agent: otherbot\n"
+        "Disallow: /only-other\n"
+    )
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(txt.splitlines())
+    prefixes = parse_robots_text(txt)
+    # the '*' group's rules survive the second UA line of the same entry,
+    # and the encoded path is normalized to robotparser's canonical
+    # quote(unquote(...)) form; otherbot's entry does not apply
+    assert prefixes == ["/x", "/enc%20oded"]
+    for path, want in [("/x/a", False), ("/enc%20oded/f", False),
+                       ("/only-other", True), ("/free", True)]:
+        blocked = any(path.startswith(p) for p in prefixes)
+        assert (not blocked) == rp.can_fetch("*", f"http://h{path}"), path
+        assert (not blocked) == want
+    # a UA line AFTER rules starts a fresh entry (state-2 → new entry)
+    txt2 = "User-agent: a\nDisallow: /a\nUser-agent: *\nDisallow: /b\n"
+    assert parse_robots_text(txt2) == ["/b"]
+
+
 def test_textrank_keywords_match_independent_pagerank():
     """F11: keyword ranking equals an independently computed (numpy dense
     power iteration) PageRank over the same co-occurrence graph."""
@@ -159,6 +193,13 @@ def test_address_checksum_validation():
     assert not is_eth_address("0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAeD")
     assert is_btc_address(btc_address(7, valid=True))
     assert not is_btc_address(btc_address(7, valid=False))
+    # indices whose hash160 begins with a 0x00 byte: base58check encodes
+    # the extra leading zero as a second '1' — the generator must emit it
+    # (a hardcoded single '1' was a ~1/256-per-idx latent gate flake)
+    for idx in (283, 406, 627):
+        addr = btc_address(idx, valid=True)
+        assert addr.startswith("11") and is_btc_address(addr), addr
+        assert not is_btc_address(btc_address(idx, valid=False))
 
     good, bad = btc_address(1, True), btc_address(2, False)
     text = f"pay {good} not {bad} nor 0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAeD ok"
