@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import sys
+import traceback
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,35 +33,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return state.pop_log_df.select("seq", "node", F.col("depth").cast("int").alias("depth"))
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _collect_suites(idx: int) -> dict:
+    """Merge every suite's idx-th element (0 = queries, 1 = oracles).
+
+    A suite that fails to import is reported LOUDLY on stderr — a silent
+    ``except ImportError: pass`` once shrank the gate from 73 rows to 50
+    with no one noticing. Import failures in one suite don't take down
+    the others."""
     from blockchainspider_spark.entry_queries import build_suite
 
-    q, _ = build_suite()
-    try:
-        from blockchainspider_spark.entry_crawl import build_crawl_suite
-        from blockchainspider_spark.entry_dedup import build_dedup_suite
-        from blockchainspider_spark.entry_etl import build_etl_suite
+    out = build_suite()[idx]
+    suites = [
+        ("entry_dedup", "build_dedup_suite"),
+        ("entry_crawl", "build_crawl_suite"),
+        ("entry_etl", "build_etl_suite"),
+    ]
+    for mod_name, builder_name in suites:
+        try:
+            mod = __import__(f"blockchainspider_spark.{mod_name}", fromlist=[builder_name])
+            out.update(getattr(mod, builder_name)()[idx])
+        except Exception:
+            print(
+                f"[__spark_entry__] LOST GATE SUITE {mod_name}.{builder_name} — "
+                "its rows are missing from this run:",
+                file=sys.stderr,
+            )
+            traceback.print_exc(file=sys.stderr)
+    return out
 
-        for build in (build_dedup_suite, build_crawl_suite, build_etl_suite):
-            extra, _ = build()
-            q.update(extra)
-    except ImportError:
-        pass
-    return q
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _collect_suites(0)
 
 
 def oracle_sql() -> dict[str, str]:
-    from blockchainspider_spark.entry_queries import build_suite
-
-    _, o = build_suite()
-    try:
-        from blockchainspider_spark.entry_crawl import build_crawl_suite
-        from blockchainspider_spark.entry_dedup import build_dedup_suite
-        from blockchainspider_spark.entry_etl import build_etl_suite
-
-        for build in (build_dedup_suite, build_crawl_suite, build_etl_suite):
-            _, extra = build()
-            o.update(extra)
-    except ImportError:
-        pass
-    return o
+    return _collect_suites(1)

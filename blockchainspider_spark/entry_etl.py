@@ -797,6 +797,41 @@ def q_k8b_motif_triangles_sql():
     """
 
 
+def q_f4b_uint256_sum(spark, sf_dir):
+    """F4b: exact >2^63 wei sums (SURVEY §7 hard point 3). Every planted
+    value has the top bit of a 64-bit word set (2^63 + event_id·10^9 —
+    hex built by string concat so no engine-side 64-bit arithmetic ever
+    holds the value), summed per event_type via the chunked-conv
+    Decimal(38,0) path — ``hex_to_dec`` (operators/block_etl.py) is
+    exact only to 63 bits and would corrupt these. Oracle: DuckDB
+    HUGEINT (int128) arithmetic; both sides render the sum as a string."""
+    from blockchainspider_spark.functions.uint256 import hex_to_decimal38
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 20000)
+    hexv = F.concat(
+        F.lit("0x8"),
+        F.lpad(F.lower(F.hex(F.col("event_id").cast("long") * F.lit(1000000000))), 15, "0"),
+    )
+    return (
+        ev.select("event_type", hexv.alias("value_hex"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(hex_to_decimal38(F.col("value_hex"))).cast("string").alias("wei_sum"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+def q_f4b_uint256_sum_sql():
+    return """
+    SELECT event_type,
+           CAST(SUM(9223372036854775808::HUGEINT + event_id::HUGEINT * 1000000000) AS VARCHAR) AS wei_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_id < 20000
+    GROUP BY event_type
+    """
+
+
 def q_t10_robots_gate(spark, sf_dir):
     """T10: real robots.txt gating — parse (host, robots_txt) documents
     into disallow prefixes (stdlib-grammar kernel) and drop candidate

@@ -50,8 +50,11 @@ def word_to_address(word_col):
 
 
 def hex_to_dec(hex_col):
-    """F4: 0x-hex → decimal string (uint256-safe via conv on ≤15-byte
-    chunks would overflow; the fixture values fit 63 bits)."""
+    """F4: 0x-hex → decimal string — exact ONLY to 63 bits (``conv`` is
+    64-bit); the gate fixtures for this path fit 63 bits by construction.
+    For real wei values (> 2^63) use ``functions/uint256.py``:
+    ``hex_to_decimal38`` (exact to 2^104, gate row f4b_uint256_sum) or
+    ``sum_uint256`` (full uint256 range via 52-bit limbs)."""
     return F.conv(F.regexp_replace(hex_col, "^0x", ""), 16, 10)
 
 
