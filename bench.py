@@ -95,6 +95,43 @@ def crawl_bench(spark) -> tuple[float, float, int]:
     return n / wall, wall, n
 
 
+def haircut_bench(spark) -> tuple[float, int]:
+    """Wave-batched Haircut (k pops/wave, DataFrame-resident weights)
+    over the derived bipartite graph; returns (wall_sec, n_pops)."""
+    from pyspark.sql import functions as F
+
+    from blockchainspider_spark.engine.wave_haircut import HaircutWaveEngine
+    from blockchainspider_spark.entry_queries import _bipartite_edges
+
+    spark.catalog.clearCache()
+    # both directions (c→p and p→c): the customer↔part graph is bipartite
+    # one-way, and Haircut only scatters along OUT-edges — the reverse
+    # edges keep weight circulating so the crawl exercises many waves
+    bi = _bipartite_edges(spark, SF_DIR)
+    both = bi.unionByName(bi.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = (
+        both.select(
+            F.sha1(F.concat_ws("_", "src", "dst")).alias("id"),
+            F.col("src").alias("address_from"),
+            F.col("dst").alias("address_to"),
+            F.lit("1").alias("value"), F.lit("").alias("token_id"),
+            F.lit(0).cast("long").alias("timestamp"),
+            F.lit(0).cast("long").alias("block_number"),
+            F.lit("0x" + "0" * 40).alias("contract_address"),
+            F.lit("native").alias("symbol"),
+        )
+        .dropDuplicates(["id"])
+    )
+    edges.persist().count()
+    engine = HaircutWaveEngine(spark, edges, k=32, min_weight=1e-9)
+    engine._outs.count()  # materialize the ranked out-edge view (one-time index)
+    t0 = time.monotonic()
+    state = engine.run("c1", max_pops=256)
+    wall = time.monotonic() - t0
+    edges.unpersist()
+    return wall, state.next_seq
+
+
 def main():
     from blockchainspider_spark.entry_dedup import build_dedup_suite
     from blockchainspider_spark.entry_queries import build_suite
@@ -134,6 +171,10 @@ def main():
     ups, crawl_wall, n_urls = crawl_bench(spark)
     timings["crawl_bfs_wavebatched"] = round(crawl_wall, 3)
     print(f"# crawl e2e: {n_urls} urls in {crawl_wall:.1f}s = {ups:.0f} urls/s", file=sys.stderr)
+
+    hc_wall, hc_pops = haircut_bench(spark)
+    timings["crawl_haircut_wavebatched"] = round(hc_wall, 3)
+    print(f"# haircut wave-batched: {hc_pops} pops in {hc_wall:.1f}s", file=sys.stderr)
 
     # primary metric: steady-state frontier throughput (fetch+dedup+
     # schedule over a large synthetic frontier — the per-wave dataflow at

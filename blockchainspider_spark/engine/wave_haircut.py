@@ -1,0 +1,208 @@
+"""Wave-batched Haircut: the first weighted strategy in throughput mode.
+
+The exact engine (engine/exact.py) pops ONE node per wave — faithful to
+the reference's sequential frontier (spiders/txs/blockscan.py:138-168,
+strategies/txs/haircut.py semantics: pop the max-weight unvisited node
+above ``min_weight``, zero it, scatter its weight across its out-edges
+proportional to value). At 100× scale the ranked crawl itself needs a
+batched form: this engine keeps the WHOLE node-weight state DataFrame-
+resident and advances ``k`` pops per Spark wave:
+
+* **top-k pop** — ``orderBy(weight desc, first-touch key asc).limit(k)``
+  compiles to TakeOrderedAndProject: a distributed per-partition top-k
+  + driver-side merge of k rows, never a global sort. The first-touch
+  key ``(wave, parent_seq, edge_rank)`` reproduces the reference's
+  insertion-order tiebreak (the sequential engine's _OrderedFloatState
+  iterates first-inserted-first).
+* **push** — one equi-join of the popped rows (broadcast) against the
+  out-edge view (A1 out-sum as a per-parent window, A2 proportional
+  scatter), then ONE groupBy merging scatter deltas into the state:
+  base rows carry weight (zeroed for pops) + first-touch key + visited;
+  delta rows carry contributions; ``sum(weight), min(fk), max(visited)``
+  folds both. One shuffle per wave, map-side partial aggregation.
+* **state hygiene** — node_state is ``localCheckpoint(eager=True)``-ed
+  per wave: bounded plan depth on long crawls and no silent recompute
+  of a nondeterministic lineage. Pops append to a per-wave parquet log
+  (the same pop-log layout as BfsWaveEngine).
+
+With ``k=1`` the pop sequence is IDENTICAL to the sequential engine
+(pinned in tests/test_wave_haircut.py); with ``k>1`` all k pops of a
+wave read the same pre-wave state — the documented batch semantics
+(weights gained mid-wave are seen next wave)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.operators.transfers import with_symbol_identity
+
+NODE_STATE_SCHEMA = (
+    "node string, weight double, fk struct<wave:long,pseq:long,erank:long>, "
+    "visited boolean"
+)
+
+
+@dataclass
+class HaircutWaveState:
+    wave: int
+    node_state: DataFrame          # (node, weight, fk, visited)
+    pop_log_df: DataFrame          # (seq, node, weight, wave)
+    next_seq: int
+    last_pops: int
+    lineage: list = field(default_factory=list)
+
+    @property
+    def pop_log(self) -> list[tuple[int, str]]:
+        """(seq, node) tuples in pop order — collect-on-access, for
+        tests/small crawls only."""
+        return [(r.seq, r.node) for r in
+                self.pop_log_df.select("seq", "node").orderBy("seq").collect()]
+
+    @property
+    def seen(self) -> set:
+        return {r.node for r in self.pop_log_df.select("node").collect()}
+
+
+class HaircutWaveEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        k: int = 1,
+        min_weight: float = 1e-3,
+        n_shuffle: int | None = None,
+        work_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.k = int(k)
+        self.min_weight = float(min_weight)
+        self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self._work_dir = work_dir or tempfile.mkdtemp(prefix="haircutwave-")
+        # out-edge view with the canonical per-parent edge rank computed
+        # ONCE (the same (_bn, ts, id) scan order the exact engine's
+        # expand uses) and persisted — every wave's push re-probes it.
+        # At cluster scale, bucket this table by `from` so the per-wave
+        # broadcast join needs no shuffle at all.
+        adapted = with_symbol_identity(edges).select(
+            F.col("address_from").alias("from"),
+            F.col("address_to").alias("to"),
+            F.col("value_d").alias("value"),
+            F.col("block_number").alias("_bn"),
+            F.col("timestamp").alias("_ts"),
+            F.col("id"),
+        )
+        rank_w = Window.partitionBy("from").orderBy("_bn", "_ts", "id")
+        self._outs = (
+            adapted.withColumn("erank", F.row_number().over(rank_w).cast("long"))
+            .drop("_bn", "_ts", "id")
+            .persist()
+        )
+
+    def _pop_wave_dir(self, wave: int) -> str:
+        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+
+    def run(self, source: str, max_pops: int | None = None) -> HaircutWaveState:
+        spark = self.spark
+        state_df = spark.createDataFrame(
+            [(source, 1.0, (0, -1, -1), False)], NODE_STATE_SCHEMA
+        ).localCheckpoint(eager=True)
+        pop_order = [F.desc("weight"), F.asc("fk")]
+        seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
+        st = HaircutWaveState(
+            wave=0, node_state=state_df,
+            pop_log_df=spark.createDataFrame([], "seq long, node string, weight double, wave long"),
+            next_seq=0, last_pops=-1,
+        )
+        while True:
+            wave = st.wave + 1
+            # eligibility follows VecHaircut.pop exactly: weight ≥
+            # min_weight, strictly positive, not yet visited
+            eligible = st.node_state.where(
+                (~F.col("visited")) & (F.col("weight") >= self.min_weight)
+                & (F.col("weight") > 0.0)
+            )
+            budget = self.k
+            if max_pops is not None:
+                budget = min(budget, max_pops - st.next_seq)
+            if budget <= 0:
+                break
+            popped = (
+                eligible.orderBy(*pop_order).limit(budget)
+                .withColumn("seq", (F.lit(st.next_seq) - 1 + F.row_number().over(seq_w)).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            n_pops = popped.count()
+            if n_pops == 0:
+                break
+            popped.select(
+                "seq", "node", "weight", F.lit(wave).cast("long").alias("wave")
+            ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
+            wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
+
+            # push: broadcast the ≤k popped rows into the out-edge view;
+            # A1 out-sum per parent as a window over the (small) joined
+            # slice, A2 proportional scatter as delta rows
+            pj = self._outs.join(
+                F.broadcast(popped.select(
+                    F.col("node").alias("from"),
+                    F.col("seq").alias("_pseq"),
+                    F.col("weight").alias("_pw"),
+                )),
+                on="from", how="inner",
+            )
+            outsum = F.sum("value").over(Window.partitionBy("from"))
+            deltas = (
+                pj.withColumn("_outsum", outsum)
+                .where(F.col("_outsum") > 0.0)
+                .select(
+                    F.col("to").alias("node"),
+                    (F.col("_pw") * F.col("value") / F.col("_outsum")).alias("weight"),
+                    F.struct(
+                        F.lit(wave).cast("long").alias("wave"),
+                        F.col("_pseq").alias("pseq"),
+                        F.col("erank").alias("erank"),
+                    ).alias("fk"),
+                    F.lit(False).alias("visited"),
+                )
+            )
+            # merge: zero the popped rows' weight (the reference zeroes
+            # before scattering, so self-loops re-credit the popped
+            # node), mark them visited, fold the deltas in ONE groupBy
+            is_popped = F.col("_pseq").isNotNull()
+            base = (
+                st.node_state.join(
+                    F.broadcast(popped.select("node", F.col("seq").alias("_pseq"))),
+                    on="node", how="left",
+                )
+                .select(
+                    "node",
+                    F.when(is_popped, 0.0).otherwise(F.col("weight")).alias("weight"),
+                    "fk",
+                    (F.col("visited") | is_popped).alias("visited"),
+                )
+            )
+            new_state = (
+                base.unionByName(deltas)
+                .groupBy("node")
+                .agg(
+                    F.sum("weight").alias("weight"),
+                    F.min("fk").alias("fk"),
+                    F.max("visited").alias("visited"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            st = HaircutWaveState(
+                wave=wave,
+                node_state=new_state,
+                pop_log_df=st.pop_log_df.unionByName(wave_pops),
+                next_seq=st.next_seq + n_pops,
+                last_pops=n_pops,
+                lineage=st.lineage,
+            )
+            st.lineage.append({"wave": wave, "pops": n_pops, "next_seq": st.next_seq})
+        return st
