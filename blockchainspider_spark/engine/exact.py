@@ -95,6 +95,29 @@ class ExactCrawlEngine:
         step = int(os.path.basename(snaps[-1]).split("_")[1].split(".")[0])
         return self.resume(step, max_steps=max_steps)
 
+    def _history_upto(self, step: int) -> tuple[list, list]:
+        """Concatenate the pop-log / emitted-id DELTAS of every snapshot
+        ≤ ``step``. Snapshots store per-wave deltas, not the full
+        history — a k-wave crawl checkpoints O(k) entries total instead
+        of the old full-copy-per-wave O(k²)."""
+        import glob
+        import pickle
+
+        pop_log: list = []
+        emitted_ids: list = []
+        for path in sorted(glob.glob(os.path.join(self.checkpoint_dir, "strategy_*.pkl"))):
+            s = int(os.path.basename(path).split("_")[1].split(".")[0])
+            if s > step:
+                break
+            with open(path, "rb") as fh:
+                snap = pickle.load(fh)
+            if "pop_log" in snap:  # pre-delta snapshot format: full copies
+                pop_log, emitted_ids = list(snap["pop_log"]), list(snap["emitted_ids"])
+            else:
+                pop_log.extend(snap["pop_log_delta"])
+                emitted_ids.extend(snap["emitted_delta"])
+        return pop_log, emitted_ids
+
     def resume(self, step: int, max_steps: int | None = None) -> ExactCrawlResult:
         """Resume mid-crawl from the pickled wave snapshot ``step``: the
         strategy state (residuals, visited sets, queues, caches) and the
@@ -105,17 +128,30 @@ class ExactCrawlEngine:
         with open(os.path.join(self.checkpoint_dir, f"strategy_{step:05d}.pkl"), "rb") as fh:
             snap = pickle.load(fh)
         model = snap["model"]
-        result = ExactCrawlResult(
-            pop_log=snap["pop_log"], emitted_ids=snap["emitted_ids"]
-        )
-        emitted = set(snap["emitted_ids"])
+        pop_log, emitted_ids = self._history_upto(step)
+        # restarting from step k invalidates any later snapshots: the
+        # continuation rewrites them, and a stale leftover would corrupt
+        # the delta concatenation of a future resume
+        import glob
+
+        for path in glob.glob(os.path.join(self.checkpoint_dir, "strategy_*.pkl")):
+            if int(os.path.basename(path).split("_")[1].split(".")[0]) > step:
+                os.remove(path)
+        result = ExactCrawlResult(pop_log=pop_log, emitted_ids=emitted_ids)
+        emitted = set(emitted_ids)
         node, ctx = snap["next_node"], snap["next_ctx"]
         if node is None:
             result.ranks = dict(model.ranks())
             return result
-        return self._drive(model, result, emitted, node, ctx, snap["step"] + 1, max_steps)
+        return self._drive(model, result, emitted, node, ctx, snap["step"] + 1, max_steps,
+                           ckpt_base=(len(result.pop_log), len(result.emitted_ids)))
 
-    def _drive(self, model, result, emitted, node, ctx, step, max_steps):
+    def _drive(self, model, result, emitted, node, ctx, step, max_steps,
+               ckpt_base: tuple[int, int] = (0, 0)):
+        # entries below these indices already live in earlier snapshots
+        # (resume passes the restored lengths); everything after them is
+        # this drive's delta stream
+        ckpt_pop, ckpt_emit = ckpt_base
         while node is not None:
             batch = self._expand(node)
             for tid in batch["id"]:
@@ -138,11 +174,16 @@ class ExactCrawlEngine:
                 snap = {
                     "step": pushed_step,
                     "model": model,
-                    "pop_log": list(result.pop_log),
-                    "emitted_ids": list(result.emitted_ids),
+                    # per-wave DELTAS only: the full history is the
+                    # concatenation over snapshots (_history_upto) —
+                    # checkpoint bytes stay linear in crawl length
+                    "pop_log_delta": list(result.pop_log[ckpt_pop:]),
+                    "emitted_delta": list(result.emitted_ids[ckpt_emit:]),
                     "next_node": node,
                     "next_ctx": dict(ctx),
                 }
+                ckpt_pop = len(result.pop_log)
+                ckpt_emit = len(result.emitted_ids)
                 with open(
                     os.path.join(self.checkpoint_dir, f"strategy_{pushed_step:05d}.pkl"), "wb"
                 ) as fh:

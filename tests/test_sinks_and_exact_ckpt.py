@@ -69,3 +69,32 @@ def test_exact_engine_state_checkpoints(spark, edges_df, source, tmp_path):
     last = pd.read_parquet(files[-1])
     assert set(last.columns) == {"node", "r", "p"}
     assert last["r"].sum() <= 1.0 + 1e-9
+
+
+def test_exact_engine_snapshots_are_deltas(spark, edges_df, source, tmp_path):
+    """Strategy snapshots store per-wave pop/emit DELTAS (linear total
+    checkpoint bytes), and their concatenation reproduces the full run's
+    history exactly."""
+    import pickle
+
+    from blockchainspider_spark.engine.exact import ExactCrawlEngine
+
+    ckpt = str(tmp_path / "delta")
+    os.makedirs(ckpt, exist_ok=True)
+    engine = ExactCrawlEngine(spark, edges_df, "Haircut", {"min_weight": 1e-2},
+                              checkpoint_dir=ckpt)
+    result = engine.run(source, max_steps=8)
+    snaps = sorted(glob.glob(os.path.join(ckpt, "strategy_*.pkl")))
+    assert len(snaps) >= 4
+    total_pop_entries = 0
+    for path in snaps:
+        with open(path, "rb") as fh:
+            snap = pickle.load(fh)
+        assert "pop_log" not in snap, "full-history snapshots are the old O(k^2) format"
+        total_pop_entries += len(snap["pop_log_delta"])
+    # each pop is checkpointed exactly once across all snapshots — the
+    # old format stored sum(1..k) ≈ k²/2 entries
+    assert total_pop_entries == len(result.pop_log)
+    pop_log, emitted = engine._history_upto(10**9)
+    assert pop_log == result.pop_log
+    assert emitted == result.emitted_ids
