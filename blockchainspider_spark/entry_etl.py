@@ -797,6 +797,59 @@ def q_k8b_motif_triangles_sql():
     """
 
 
+def q_mm_image_features(spark, sf_dir):
+    """Multimodal image features with a full SQL oracle: per doc build a
+    closed-form 8×8 RGB gradient (channel c = a·doc_id + linear ramp —
+    values < 256 so no wrap), run the REAL pipeline — pure-numpy PNG
+    encode → binary column → mapInPandas decode → channel means + gray
+    std (operators/multimodal.image_features) — and let DuckDB compute
+    the same statistics analytically (mean of a linear ramp; std of
+    b1·x + b2·y over the 8×8 grid = √((b1²+b2²)·5.25))."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.imagecodec import png_encode
+    from blockchainspider_spark.operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                yy, xx = np.mgrid[0:8, 0:8]
+                px = np.stack(
+                    [did * 3 + xx + yy, did * 2 + 2 * xx, did + yy], axis=-1
+                ).astype(np.uint8)
+                out["image_id"].append(f"doc-{did}")
+                out["bytes"].append(png_encode(px))
+                out["fmt"].append("png")
+            yield pd.DataFrame(out)
+
+    images = d.mapInPandas(build, "image_id string, bytes binary, fmt string")
+    feats = image_features(images)
+    return feats.select(
+        "image_id", "w", "h",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_gray", 4).alias("std_gray"),
+    )
+
+
+def q_mm_image_features_sql():
+    return """
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+           ROUND(CAST(doc_id*3 + 7 AS DOUBLE), 4) AS mean_r,
+           ROUND(CAST(doc_id*2 + 7 AS DOUBLE), 4) AS mean_g,
+           ROUND(CAST(doc_id + 3.5 AS DOUBLE), 4) AS mean_b,
+           ROUND(SQRT((1.473*1.473 + 0.413*0.413) * 5.25), 4) AS std_gray
+    FROM documents WHERE doc_id < 80
+    """
+
+
 def q_f4b_uint256_sum(spark, sf_dir):
     """F4b: exact >2^63 wei sums (SURVEY §7 hard point 3). Every planted
     value has the top bit of a 64-bit word set (2^63 + event_id·10^9 —

@@ -53,6 +53,65 @@ def test_reports_jsonl(spark, tmp_path):
     assert json.loads(lines[0])["net"] == "ETH-Like-address"
 
 
+def test_queue_sink_file_double(spark, tmp_path):
+    """K6: rows publish as JSON messages under <prefix>.<ItemClass>
+    routing keys; a second publish appends; streaming foreachBatch wiring
+    shares the same path."""
+    qdir = str(tmp_path / "q")
+    df = spark.createDataFrame(
+        [("0xaa", 5), ("0xbb", 7)], "address string, n int"
+    )
+    K.publish_to_queue(df, f"file-queue://{qdir}", "bs", "TransactionItem")
+    key_dir = os.path.join(qdir, "routing_key=bs.TransactionItem")
+    msgs = [json.loads(ln) for f in glob.glob(os.path.join(key_dir, "*.txt"))
+            for ln in open(f).read().splitlines() if ln]
+    assert sorted(m["address"] for m in msgs) == ["0xaa", "0xbb"]
+    assert all(set(m) == {"address", "n"} for m in msgs)
+
+    # foreachBatch contract: (batch_df, batch_id) appends more messages
+    publisher = K.make_queue_publisher(f"file-queue://{qdir}", "bs", "TransactionItem")
+    publisher(df.where(F.col("n") == 5), batch_id=1)
+    msgs2 = [json.loads(ln) for f in glob.glob(os.path.join(key_dir, "*.txt"))
+             for ln in open(f).read().splitlines() if ln]
+    assert len(msgs2) == 3
+
+    # distinct item classes route to distinct keys (reference routing:
+    # '<prefix>.<ItemClass>')
+    K.publish_to_queue(df, f"file-queue://{qdir}", "bs", "LabelReportItem")
+    assert os.path.isdir(os.path.join(qdir, "routing_key=bs.LabelReportItem"))
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        K.publish_to_queue(df, "amqp://guest@localhost/", "bs", "X")
+
+
+def test_jdbc_sink_file_double(spark, tmp_path):
+    """K7: the file-db double exercises the writer path + the reference
+    model's type mapping (Numeric(78,0) wei values, BIGINT blocks)."""
+    import pandas as pd
+
+    dbdir = str(tmp_path / "db")
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [("0x" + "a" * 64, 1, Decimal(2**80))],
+        "transaction_hash string, block_number long, value decimal(38,0)",
+    )
+    K.write_jdbc(df, f"file-db://{dbdir}", "bs_transactions")
+    ddl = open(os.path.join(dbdir, "bs_transactions", "schema.sql")).read()
+    assert "transaction_hash TEXT" in ddl
+    assert "block_number BIGINT" in ddl
+    assert "value NUMERIC(78,0)" in ddl, "uint256 wei column maps to Numeric(78,0)"
+    rows = pd.read_parquet(os.path.join(dbdir, "bs_transactions", "rows"))
+    assert int(rows["value"].iloc[0]) == 2**80
+
+    # append mode accumulates (the reference pipeline upserts per item)
+    K.write_jdbc(df, f"file-db://{dbdir}", "bs_transactions", mode="append")
+    rows = pd.read_parquet(os.path.join(dbdir, "bs_transactions", "rows"))
+    assert len(rows) == 2
+
+
 def test_exact_engine_state_checkpoints(spark, edges_df, source, tmp_path):
     """node_state parquet written per wave; weights sum ≤ 1 (haircut)."""
     import pandas as pd
