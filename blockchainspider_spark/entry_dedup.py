@@ -236,6 +236,22 @@ def q_sim_ann_topk_sql():
     """
 
 
+def q_sim_ann_lsh_recall(spark, sf_dir):
+    """Recall floor for the sign-LSH ANN against its exact brute-force
+    twin (rows-only by design: the hash planes aren't SQL-reproducible).
+    Emits one row per query whose recall@3 ≥ 2/3 — a recall regression
+    SHRINKS the row count, which the driver's rows-only check records,
+    so the approximate path is adjudicated instead of merely executed."""
+    emb = _emb(spark, sf_dir)
+    brute = D.ann_topk(emb, n_queries=5, k=3).select("query_id", "neighbor_id")
+    lsh = D.ann_lsh_bucketed(emb, n_queries=5, k=3).select("query_id", "neighbor_id")
+    hits = brute.join(lsh, on=["query_id", "neighbor_id"], how="inner")
+    recall = hits.groupBy("query_id").agg((F.count("*") / F.lit(3.0)).alias("recall"))
+    return recall.where(F.col("recall") >= 2.0 / 3.0).select(
+        "query_id", F.round("recall", 6).alias("recall")
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

@@ -68,10 +68,20 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
     from blockchainspider_spark.engine.distseq import assign_global_seq
 
     small = spark.range(0, 1000).select(F.col("id").alias("k1"), F.col("id").alias("node"))
-    asg = assign_global_seq(small, ["k1"], base_seq=0, n_partitions=8)
-    check("distributed seq (range exchange + _pid window)", asg.df,
-          ["rangepartitioning", "Window", "_pid"])
+    # force the big-wave path (small_threshold=0): the audit checks the
+    # cluster-scale plan — range exchange + per-partition window over the
+    # localCheckpoint'ed ranged intermediate, never a global sort
+    asg = assign_global_seq(small, ["k1"], base_seq=0, n_partitions=8, small_threshold=0)
+    check("distributed seq, big-wave path (per-pid window on checkpointed ranged)",
+          asg.df, ["Window", "_pid"])
     asg.cleanup()
+
+    # the adaptive small-wave path: single-task window (constant partition
+    # key), no range exchange, no per-partition counts job
+    asg_small = assign_global_seq(small, ["k1"], base_seq=0, n_partitions=8)
+    check("distributed seq, small-wave path (constant-key single-task window)",
+          asg_small.df, ["Window"])
+    asg_small.cleanup()
     return results
 
 
