@@ -1,5 +1,5 @@
-"""Wave-batched TTR strategies (TTRBase/TTRWeight) — weighted crawl at
-throughput, second family after wave_haircut.
+"""Wave-batched TTR strategies (TTRBase/TTRWeight) and APPR — weighted
+crawl at throughput, completing the set after wave_haircut.
 
 Reference semantics (BlockchainSpider strategies/txs/ttr.py TTRBase/
 TTRWeight; engine twin: strategies_vec._VecTtrScalar): pop the node with
@@ -211,4 +211,230 @@ class TtrWaveEngine:
                 lineage=st.lineage,
             )
             st.lineage.append({"wave": wave, "pops": n_pops, "next_seq": st.next_seq})
+        return st
+
+
+APPR_STATE_SCHEMA = (
+    "node string, r double, p double, fk struct<wave:long,pseq:long,slot:long>, "
+    "fetched boolean"
+)
+
+
+@dataclass
+class ApprWaveState:
+    wave: int
+    node_state: DataFrame          # (node, r, p, fk, fetched)
+    pop_log_df: DataFrame          # (seq, node, residual, wave)
+    next_seq: int
+    lineage: list = field(default_factory=list)
+
+    @property
+    def pop_log(self) -> list[tuple[int, str]]:
+        return [(row.seq, row.node) for row in
+                self.pop_log_df.select("seq", "node").orderBy("seq").collect()]
+
+    def ranks(self) -> dict:
+        return {row.node: row.p for row in
+                self.node_state.select("node", "p").where(F.col("p") > 0).collect()}
+
+
+class ApprWaveEngine:
+    """Wave-batched APPR local push (reference strategies/txs/appr.py,
+    engine twin strategies_vec.VecAppr).
+
+    Sequential semantics: pop() first DRAINS — repeatedly pushes any
+    already-crawled node whose residual exceeds epsilon (p += α·r,
+    r scattered (1-α)/deg across the distinct-neighbor distribution) —
+    then returns the residual argmax, which is necessarily an uncrawled
+    node. The wave form keeps (r, p) in a DataFrame and runs the drain
+    as SIMULTANEOUS (Jacobi) push iterations — every eligible crawled
+    node pushes against the pre-iteration state, one join + one groupBy
+    per iteration, until no crawled node exceeds epsilon — then pops the
+    top-k uncrawled nodes. Jacobi vs the reference's one-at-a-time
+    (Gauss-Seidel) drain converges to the same ε→0 limit but may
+    terminate in a slightly different sub-epsilon residual state, so
+    exact pop-order parity is NOT guaranteed in general; tests pin
+    fixture-level k=1 order equality plus the order-independent
+    invariants (mass conservation, drained-state condition, rank error
+    bounded by the push theory's ε·deg envelope)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        k: int = 1,
+        alpha: float = 0.15,
+        epsilon: float = 1e-5,
+        max_drain_iters: int = 200,
+        work_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.k = int(k)
+        self.alpha, self.epsilon = float(alpha), float(epsilon)
+        self.max_drain_iters = int(max_drain_iters)
+        self._work_dir = work_dir or tempfile.mkdtemp(prefix="apprwave-")
+        adapted = with_symbol_identity(edges).select(
+            F.col("address_from").alias("from"),
+            F.col("address_to").alias("to"),
+            F.col("block_number").alias("_bn"),
+            F.col("timestamp").alias("_ts"),
+            F.col("id"),
+        )
+        # neighbor distribution view: for every node, the DISTINCT other
+        # endpoints of its touching edges in first-appearance order over
+        # the interleaved (from_i, to_i) canonical scan — exactly the
+        # reference's _neighbor_order. Built once with two windows,
+        # persisted; at cluster scale this is the table you bucket by
+        # `node`.
+        touch = adapted.selectExpr(
+            "stack(2, address_from, address_to) as node", "*"
+        ) if False else adapted.selectExpr(
+            "stack(2, `from`, `to`) as node", "`from`", "`to`", "_bn", "_ts", "id"
+        )
+        edge_w = Window.partitionBy("node").orderBy("_bn", "_ts", "id")
+        pos = touch.withColumn("_eidx", F.row_number().over(edge_w)).select(
+            "node", "_eidx",
+            F.explode(F.array(
+                F.struct(F.lit(0).alias("s"), F.col("from").alias("nbr")),
+                F.struct(F.lit(1).alias("s"), F.col("to").alias("nbr")),
+            )).alias("c"),
+        ).select(
+            "node", (F.col("_eidx") * 2 + F.col("c.s")).alias("_pos"),
+            F.col("c.nbr"),
+        ).where(F.col("nbr") != F.col("node"))
+        first = pos.groupBy("node", "nbr").agg(F.min("_pos").alias("_first"))
+        rank_w = Window.partitionBy("node").orderBy("_first")
+        self._nbrs = first.select(
+            "node", "nbr", F.row_number().over(rank_w).cast("long").alias("nrank"),
+            F.count("*").over(Window.partitionBy("node")).cast("long").alias("deg"),
+        ).persist()
+
+    def _pop_wave_dir(self, wave: int) -> str:
+        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+
+    def _drain_once(self, state: DataFrame, wave: int) -> tuple[DataFrame, int]:
+        """One Jacobi drain iteration: every crawled node with r > ε
+        pushes simultaneously. Returns (new_state, n_pushed)."""
+        # state is localCheckpoint'ed by the caller, so this filter is a
+        # cheap deterministic re-read — no extra materialization needed
+        pushers = state.where(F.col("fetched") & (F.col("r") > self.epsilon)).select(
+            F.col("node").alias("_pn"), F.col("r").alias("_pr"),
+            F.col("fk.pseq").alias("_ppseq"),
+        )
+        n = pushers.count()
+        if n == 0:
+            return state, 0
+        deltas = (
+            self._nbrs.join(F.broadcast(pushers),
+                            on=F.col("node") == F.col("_pn"), how="inner")
+            .select(
+                F.col("nbr").alias("node"),
+                ((1 - self.alpha) / F.col("deg") * F.col("_pr")).alias("r"),
+                F.lit(0.0).alias("p"),
+                F.struct(
+                    F.lit(wave).cast("long").alias("wave"),
+                    F.col("_ppseq").alias("pseq"),
+                    F.col("nrank").alias("slot"),
+                ).alias("fk"),
+                F.lit(False).alias("fetched"),
+            )
+        )
+        pushed = pushers.select(F.col("_pn").alias("node"), F.col("_pr"))
+        base = (
+            state.join(F.broadcast(pushed), on="node", how="left")
+            .select(
+                "node",
+                F.when(F.col("_pr").isNotNull(), 0.0).otherwise(F.col("r")).alias("r"),
+                (F.col("p") + F.coalesce(F.col("_pr") * self.alpha, F.lit(0.0))).alias("p"),
+                "fk", "fetched",
+            )
+        )
+        new_state = (
+            base.unionByName(deltas)
+            .groupBy("node")
+            .agg(F.sum("r").alias("r"), F.sum("p").alias("p"),
+                 F.min("fk").alias("fk"), F.max("fetched").alias("fetched"))
+            .localCheckpoint(eager=True)
+        )
+        return new_state, n
+
+    def run(self, source: str, max_pops: int | None = None) -> ApprWaveState:
+        spark = self.spark
+        state_df = spark.createDataFrame(
+            [(source, 1.0, 0.0, (0, -1, -1), False)], APPR_STATE_SCHEMA
+        ).localCheckpoint(eager=True)
+        pop_order = [F.desc("r"), F.asc("fk")]
+        seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
+        st = ApprWaveState(
+            wave=0, node_state=state_df,
+            pop_log_df=spark.createDataFrame(
+                [], "seq long, node string, residual double, wave long"),
+            next_seq=0,
+        )
+        while True:
+            wave = st.wave + 1
+            # drain: crawled residual mass flows until every crawled node
+            # is ≤ ε (geometric decay — ≥α of pushed mass leaves r per
+            # iteration); the cap is a loud backstop, not a silent limit
+            state, iters = st.node_state, 0
+            while True:
+                state, n_pushed = self._drain_once(state, wave)
+                if n_pushed == 0:
+                    break
+                iters += 1
+                if iters >= self.max_drain_iters:
+                    raise RuntimeError(
+                        f"APPR drain did not settle in {self.max_drain_iters} "
+                        f"iterations (epsilon={self.epsilon})"
+                    )
+            budget = self.k
+            if max_pops is not None:
+                budget = min(budget, max_pops - st.next_seq)
+            if budget <= 0:
+                st = ApprWaveState(wave, state, st.pop_log_df, st.next_seq, st.lineage)
+                break
+            # post-drain, every node above ε is uncrawled — the argmax
+            # over all nodes equals the argmax over uncrawled ones
+            popped = (
+                state.where(F.col("r") > self.epsilon)
+                .orderBy(*pop_order).limit(budget)
+                .withColumn("seq", (F.lit(st.next_seq) - 1
+                                    + F.row_number().over(seq_w)).cast("long"))
+                .select("seq", "node", F.col("r").alias("residual"))
+                .localCheckpoint(eager=True)
+            )
+            n_pops = popped.count()
+            if n_pops == 0:
+                st = ApprWaveState(wave, state, st.pop_log_df, st.next_seq, st.lineage)
+                break
+            popped.select(
+                "seq", "node", "residual", F.lit(wave).cast("long").alias("wave")
+            ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
+            wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
+            # mark crawled; carry the pop seq into fk.pseq so later drain
+            # scatters from this node order by its pop sequence
+            mark = popped.select("node", F.col("seq").alias("_seq"))
+            new_state = (
+                state.join(F.broadcast(mark), on="node", how="left")
+                .select(
+                    "node", "r", "p",
+                    F.when(
+                        F.col("_seq").isNotNull(),
+                        F.struct(F.col("fk.wave").alias("wave"),
+                                 F.col("_seq").alias("pseq"),
+                                 F.col("fk.slot").alias("slot")),
+                    ).otherwise(F.col("fk")).alias("fk"),
+                    (F.col("fetched") | F.col("_seq").isNotNull()).alias("fetched"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            st = ApprWaveState(
+                wave=wave,
+                node_state=new_state,
+                pop_log_df=st.pop_log_df.unionByName(wave_pops),
+                next_seq=st.next_seq + n_pops,
+                lineage=st.lineage,
+            )
+            st.lineage.append({"wave": wave, "pops": n_pops,
+                               "drain_iters": iters, "next_seq": st.next_seq})
         return st
