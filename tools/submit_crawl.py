@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--resume-wave", type=int, default=None)
     ap.add_argument("--bloom", choices=["off", "broadcast", "sharded"], default="off",
                     help="URL-seen Bloom pre-filter mode (sharded = 10^10-key form)")
+    ap.add_argument("--wave-k", type=int, default=None,
+                    help="run the weighted strategy wave-BATCHED with k pops "
+                         "per wave (Haircut/TTRBase/TTRWeight/APPR; k=1 "
+                         "reproduces the sequential order for Haircut/TTR)")
+    ap.add_argument("--epsilon", type=float, default=None,
+                    help="residual threshold for wave-batched TTR/APPR")
     ap.add_argument("--demo", action="store_true")
     args = ap.parse_args()
     if not args.demo and (not args.edges or not args.source):
@@ -92,6 +98,35 @@ def main():
             state.pop_log_df.select("seq", "node", "depth").write.mode(
                 "overwrite"
             ).parquet(os.path.join(args.out, "pop_log"))
+    elif args.wave_k is not None:
+        # wave-batched weighted crawl: weights/residuals DataFrame-resident,
+        # k pops per Spark wave
+        if args.strategy == "Haircut":
+            from blockchainspider_spark.engine.wave_haircut import HaircutWaveEngine
+
+            engine = HaircutWaveEngine(spark, edges, k=args.wave_k)
+        elif args.strategy in ("TTRBase", "TTRWeight"):
+            from blockchainspider_spark.engine.wave_weighted import TtrWaveEngine
+
+            engine = TtrWaveEngine(
+                spark, edges, weighted=args.strategy == "TTRWeight",
+                k=args.wave_k, **({"epsilon": args.epsilon} if args.epsilon else {}),
+            )
+        elif args.strategy == "APPR":
+            from blockchainspider_spark.engine.wave_weighted import ApprWaveEngine
+
+            engine = ApprWaveEngine(
+                spark, edges, k=args.wave_k,
+                **({"epsilon": args.epsilon} if args.epsilon else {}),
+            )
+        else:
+            ap.error(f"no wave-batched form for strategy {args.strategy}")
+        state = engine.run(source, max_pops=10_000)
+        print(json.dumps({"pops": state.next_seq, "lineage": state.lineage}, default=str))
+        if args.out:
+            state.pop_log_df.write.mode("overwrite").parquet(
+                os.path.join(args.out, "pop_log")
+            )
     else:
         from blockchainspider_spark.engine.exact import ExactCrawlEngine
 
