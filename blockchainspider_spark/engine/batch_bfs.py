@@ -101,6 +101,7 @@ class BfsWaveEngine:
         lineage_detail: bool = False,
         hooks=None,
         use_bloom: bool = False,
+        touch: DataFrame | None = None,
     ):
         self.spark = spark
         self.edges = edges
@@ -140,9 +141,11 @@ class BfsWaveEngine:
         self.seen_compact_every = 8
         # endpoint-exploded edge view: turns the two-sided expand join J1
         # into one equi-join; persisted — every wave re-probes it. At
-        # cluster scale, bucket the underlying table by `endpoint` so
-        # this join co-locates with no per-wave shuffle.
-        self._touch = endpoint_exploded(edges).persist()
+        # cluster scale pass `touch` = a table bucketed by `endpoint`
+        # (operators/transfers.write_bucketed_touch): the sort-merge
+        # expand join then reads the edge side pre-distributed and only
+        # the frontier side shuffles (pinned in test_bucketed_touch).
+        self._touch = touch if touch is not None else endpoint_exploded(edges).persist()
         self._prev_seen: DataFrame | None = None
 
     # ------------------------------------------------------------------ setup

@@ -60,6 +60,30 @@ def endpoint_exploded(transfers: DataFrame) -> DataFrame:
     )
 
 
+def write_bucketed_touch(transfers: DataFrame, table: str, n_buckets: int = 8,
+                         path: str | None = None) -> DataFrame:
+    """Materialize the endpoint-exploded view as a BUCKETED table on the
+    expand-join key — the 100-TB layout: when the frontier outgrows
+    broadcast, the per-wave sort-merge expand join reads the edge side
+    already hash-distributed on ``endpoint`` (bucket metadata), so ONLY
+    the (much smaller) frontier side shuffles — the multi-TB edge table
+    never re-exchanges, wave after wave. Returns the table as a
+    DataFrame. (Parquet + bucket metadata via the session catalog; on a
+    real deployment this is the Iceberg table's bucket partition spec.)"""
+    spark = transfers.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        endpoint_exploded(transfers)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "endpoint")
+        .sortBy("endpoint")
+    )
+    if path is not None:  # external table (no warehouse-dir dependency)
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
 def allow_list_filter(transfers: DataFrame, allowed: DataFrame | None) -> DataFrame:
     """Token allow-list (P4/J9, reference filter.py:6-30): left-semi join
     against the (small, broadcast) allow-list of
