@@ -151,6 +151,7 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 _DCT32 = _dct_matrix(32)
+_GRAY_W = np.array([0.299, 0.587, 0.114])
 
 
 def phash64(pixels: np.ndarray) -> int:
@@ -159,15 +160,17 @@ def phash64(pixels: np.ndarray) -> int:
     Grayscale → 32x32 area resample → 2D DCT → top-left 8x8 (minus DC)
     vs median → 64 sign bits.
     """
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    gray = pixels.astype(np.float64) @ _GRAY_W
     h, w = gray.shape
     ys = (np.arange(32) * h // 32).clip(0, h - 1)
     xs = (np.arange(32) * w // 32).clip(0, w - 1)
     small = gray[np.ix_(ys, xs)]
     freq = _DCT32 @ small @ _DCT32.T
-    block = freq[:8, :8].flatten()[1:]
-    bits = block > np.median(block)
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
-    return val - (1 << 63) if val >= (1 << 63) else val
+    block = freq[:8, :8].ravel()[1:]
+    # median of 63 = the 31st order statistic (odd length) — one
+    # partition instead of np.median's full machinery; bit packing via
+    # packbits (MSB-first over 63 bits == the shift loop's value, which
+    # is < 2^63 so no sign wrap ever occurs)
+    med = np.partition(block, 31)[31]
+    bits = block > med
+    return int.from_bytes(np.packbits(bits).tobytes(), "big") >> 1
