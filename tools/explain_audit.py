@@ -82,6 +82,19 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
     check("distributed seq, small-wave path (constant-key single-task window)",
           asg_small.df, ["Window"])
     asg_small.cleanup()
+
+    # wave-batched weighted pop: orderBy().limit(k) must compile to
+    # TakeOrderedAndProject (distributed per-partition top-k + k-row
+    # merge), never a global Sort
+    state = spark.createDataFrame(
+        [(f"n{i}", float(i % 97), (0, i, 0)) for i in range(1000)],
+        "node string, weight double, fk struct<wave:long,pseq:long,erank:long>",
+    )
+    popk = state.orderBy(F.desc("weight"), F.asc("fk")).limit(32)
+    plan = popk._jdf.queryExecution().executedPlan().toString()
+    ok = "TakeOrderedAndProject" in plan
+    results.append(("wave-engine top-k pop (TakeOrderedAndProject, no global sort)",
+                    plan, ["TakeOrderedAndProject"], ok))
     return results
 
 
