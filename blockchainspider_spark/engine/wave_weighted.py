@@ -162,14 +162,22 @@ class TtrWaveEngine:
             if budget <= 0:
                 break
             # strict r > epsilon, matching argmax_over's threshold compare
-            popped = (
+            pop_rows = (
                 st.node_state.where(F.col("r") > self.epsilon)
                 .orderBy(*pop_order).limit(budget)
                 .withColumn("seq", (F.lit(st.next_seq) - 1
                                     + F.row_number().over(seq_w)).cast("long"))
                 .select("seq", F.col("node"), F.col("r").alias("residual"))
-                .join(F.broadcast(self._outcnt).withColumnRenamed("from", "node"),
-                      on="node", how="left")
+            )
+            # out-degree lookup for the ≤k popped rows: broadcast the
+            # POPPED side into an inner probe of the (arbitrarily large)
+            # degree dim, then re-attach — never broadcast the dim itself
+            # (at 10^10 nodes it is unbroadcastable)
+            hit_cnt = self._outcnt.withColumnRenamed("from", "node").join(
+                F.broadcast(pop_rows.select("node")), on="node", how="inner"
+            )
+            popped = (
+                pop_rows.join(F.broadcast(hit_cnt), on="node", how="left")
                 .withColumn("_n_out", F.coalesce(F.col("n_out"), F.lit(0)))
                 .drop("n_out")
                 .localCheckpoint(eager=True)
@@ -266,12 +274,14 @@ class ApprWaveEngine:
         alpha: float = 0.15,
         epsilon: float = 1e-5,
         max_drain_iters: int = 200,
+        broadcast_threshold: int = 1_000_000,
         work_dir: str | None = None,
     ):
         self.spark = spark
         self.k = int(k)
         self.alpha, self.epsilon = float(alpha), float(epsilon)
         self.max_drain_iters = int(max_drain_iters)
+        self.broadcast_threshold = int(broadcast_threshold)
         self._work_dir = work_dir or tempfile.mkdtemp(prefix="apprwave-")
         adapted = with_symbol_identity(edges).select(
             F.col("address_from").alias("from"),
@@ -324,8 +334,12 @@ class ApprWaveEngine:
         n = pushers.count()
         if n == 0:
             return state, 0
+        # the pusher set is bounded by the CRAWLED set, which grows with
+        # the crawl — broadcast only while it is actually small, else
+        # join shuffle-side (hash-partitioned on the node key)
+        push_side = F.broadcast(pushers) if n <= self.broadcast_threshold else pushers
         deltas = (
-            self._nbrs.join(F.broadcast(pushers),
+            self._nbrs.join(push_side,
                             on=F.col("node") == F.col("_pn"), how="inner")
             .select(
                 F.col("nbr").alias("node"),
@@ -340,8 +354,10 @@ class ApprWaveEngine:
             )
         )
         pushed = pushers.select(F.col("_pn").alias("node"), F.col("_pr"))
+        if n <= self.broadcast_threshold:
+            pushed = F.broadcast(pushed)
         base = (
-            state.join(F.broadcast(pushed), on="node", how="left")
+            state.join(pushed, on="node", how="left")
             .select(
                 "node",
                 F.when(F.col("_pr").isNotNull(), 0.0).otherwise(F.col("r")).alias("r"),
