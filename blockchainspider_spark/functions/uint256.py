@@ -73,8 +73,13 @@ def sum_uint256(df: DataFrame, value_col: str, group_cols: list[str] | None = No
     group_cols = group_cols or []
     limbs = uint256_limbs(F.col(value_col))
     limbed = df.select(*group_cols, *limbs)
+    # coalesce: an ungrouped agg over zero rows yields NULL sums — the
+    # empty sum is 0
     aggs = [
-        F.sum(F.col(f"_limb{i}").cast("decimal(38,0)")).alias(f"_s{i}")
+        F.coalesce(
+            F.sum(F.col(f"_limb{i}").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias(f"_s{i}")
         for i in range(N_LIMBS)
     ]
     summed = (limbed.groupBy(*group_cols).agg(*aggs) if group_cols

@@ -70,3 +70,10 @@ def test_sum_uint256_ungrouped(spark, big_values):
     df = spark.createDataFrame([(hex(v),) for v in big_values], "h string")
     [row] = sum_uint256(df, "h").collect()
     assert int(row.value_sum) == sum(big_values)
+
+
+def test_sum_uint256_empty_input(spark):
+    empty = spark.createDataFrame([], "h string")
+    [row] = sum_uint256(empty, "h").collect()
+    assert int(row.value_sum) == 0
+    assert sum_uint256(empty, "h", group_cols=["h"]).count() == 0
