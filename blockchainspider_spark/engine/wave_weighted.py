@@ -454,3 +454,324 @@ class ApprWaveEngine:
             st.lineage.append({"wave": wave, "pops": n_pops,
                                "drain_iters": iters, "next_seq": st.next_seq})
         return st
+
+
+CHIPS_SCHEMA = "node string, ts long, val double"
+TTRTIME_META_SCHEMA = (
+    "node string, p double, fk struct<wave:long,pseq:long,slot:long>"
+)
+_TS_NEG_INF = -(1 << 62)
+
+
+@dataclass
+class TtrTimeWaveState:
+    wave: int
+    chips: DataFrame               # (node, ts, val) residual chips
+    meta: DataFrame                # (node, p, fk)
+    pop_log_df: DataFrame          # (seq, node, residual, wave)
+    next_seq: int
+    lineage: list = field(default_factory=list)
+
+    @property
+    def pop_log(self) -> list[tuple[int, str]]:
+        return [(row.seq, row.node) for row in
+                self.pop_log_df.select("seq", "node").orderBy("seq").collect()]
+
+    def ranks(self) -> dict:
+        return {row.node: row.p for row in
+                self.meta.select("node", "p").where(F.col("p") > 0).collect()}
+
+
+class TtrTimeWaveEngine:
+    """Wave-batched TTRTime (reference strategies/txs/ttr.py TTRTime;
+    engine twin strategies_vec.VecTtrTime).
+
+    The strategy state is per-node CHIP maps (timestamp → residual mass);
+    a push flows each popped node's chips along its edges with temporal
+    eligibility — a chip moves only across edges strictly LATER (forward)
+    or strictly EARLIER (backward) than the chip's timestamp, weighted by
+    the eligible-value mass W. The sequential kernel does this with
+    searchsorted/cumsum per node; here the same quantities are computed
+    as two range-frame window passes over a per-node UNION of chip rows
+    and edge rows ordered by timestamp (the as-of-join shape):
+
+    * ``W[chip]``   = total edge value − Σ edge value with ts ≤ chip.ts
+                      (forward; strictly-earlier prefix for backward)
+    * ``density[e]`` = Σ chip contributions with ts < e.ts (forward;
+                      ts > e.ts via a following-range frame backward)
+
+    Both frames share one sort, so each direction is a single window
+    exchange over the popped nodes' slice. Chips with no eligible edge
+    recycle to their node ×(1−α)·share, exactly as the reference. The
+    one-time source seed (per-timestamp last-writer chip assignment +
+    zero-total sentinels) runs as a per-ts window; k=1 reproduces the
+    sequential engine's pop order and p-ranks (pinned)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        k: int = 1,
+        alpha: float = 0.15,
+        beta: float = 0.8,
+        epsilon: float = 1e-3,
+        work_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.k = int(k)
+        self.alpha, self.beta, self.epsilon = float(alpha), float(beta), float(epsilon)
+        self._work_dir = work_dir or tempfile.mkdtemp(prefix="ttrtimewave-")
+        adapted = with_symbol_identity(edges).select(
+            F.col("address_from").alias("from"),
+            F.col("address_to").alias("to"),
+            F.col("value_d").alias("value"),
+            F.col("timestamp").cast("long").alias("ts"),
+            F.col("block_number").alias("_bn"),
+            F.col("id"),
+        )
+        self._outs = adapted.select(
+            F.col("from").alias("node"), F.col("to").alias("target"),
+            "value", "ts", "_bn", "id",
+        ).persist()
+        self._ins = adapted.select(
+            F.col("to").alias("node"), F.col("from").alias("target"),
+            "value", "ts", "_bn", "id",
+        ).persist()
+
+    def _pop_wave_dir(self, wave: int) -> str:
+        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+
+    def _seed(self, source: str, wave: int):
+        """The reference's one-time seed (strategies_vec._seed): per-edge
+        chip assignment on the source in canonical order (last writer at
+        a timestamp wins, out-branch condition checked first per row),
+        plus sentinel chips when a side has zero total value."""
+        touch = self._outs.where(F.col("node") == source).withColumn(
+            "_is_out", F.lit(True)
+        ).unionByName(
+            self._ins.where((F.col("node") == source) & (F.col("target") != source))
+            .withColumn("_is_out", F.lit(False))
+        )
+        # ^ self-loop edges appear once (out branch), like the sequential
+        #   batch where one row carries both endpoints
+        tot = touch.agg(
+            F.sum(F.when(F.col("_is_out"), F.col("value"))).alias("out_total"),
+            F.sum(F.when(~F.col("_is_out"), F.col("value"))).alias("in_total"),
+        ).collect()[0]  # two scalars — bounded driver traffic
+        out_total = float(tot.out_total or 0.0)
+        in_total = float(tot.in_total or 0.0)
+        out_coeff = (1 - self.alpha) * self.beta
+        in_coeff = (1 - self.alpha) * (1 - self.beta)
+        val = (
+            F.when(F.col("_is_out") & F.lit(out_total != 0.0),
+                   F.lit(out_coeff) * F.col("value") / F.lit(out_total or 1.0))
+            .when((~F.col("_is_out")) & F.lit(in_total != 0.0),
+                  F.lit(in_coeff) * F.col("value") / F.lit(in_total or 1.0))
+        )
+        # canonical write order: (_bn, ts, id) with the out branch of a
+        # row evaluated first — last writer per timestamp wins
+        pos_w = Window.partitionBy("node").orderBy("_bn", "ts", "id", F.col("_is_out").desc())
+        win_w = Window.partitionBy("node", "ts").orderBy(F.desc("_pos"))
+        chips = (
+            touch.withColumn("_v", val).where(F.col("_v").isNotNull())
+            .withColumn("_pos", F.row_number().over(pos_w))
+            .withColumn("_rn", F.row_number().over(win_w))
+            .where(F.col("_rn") == 1)
+            .select("node", "ts", F.col("_v").alias("val"))
+        )
+        sentinels = []
+        if out_total == 0.0:
+            sentinels.append((source, 0, out_coeff))
+        if in_total == 0.0:
+            sentinels.append((source, (1 << 63) - 1, in_coeff))
+        if sentinels:
+            chips = chips.unionByName(self.spark.createDataFrame(sentinels, CHIPS_SCHEMA))
+        return chips
+
+    def _direction(self, chips_pop: DataFrame, side_edges: DataFrame,
+                   wave: int, forward: bool):
+        """One push direction over the popped nodes' chips: returns
+        (new_chip_rows with fk, recycled_chip_rows). Two range-frame
+        windows over the chips∪edges union, one sort."""
+        coeff = (1 - self.alpha) * (self.beta if forward else 1 - self.beta)
+        edges = side_edges.select(
+            "node", "ts",
+            F.col("value").alias("ev"), F.lit(0.0).alias("cv"),
+            F.lit(True).alias("is_edge"), "target", "_bn", "id", "_pseq", "_slot_base",
+        )
+        chip_rows = chips_pop.select(
+            "node", "ts",
+            F.lit(0.0).alias("ev"), F.col("val").alias("cv"),
+            F.lit(False).alias("is_edge"),
+            F.lit(None).cast("string").alias("target"),
+            F.lit(0).cast("long").alias("_bn"), F.lit("").alias("id"),
+            F.lit(None).cast("long").alias("_pseq"), F.lit(0).cast("long").alias("_slot_base"),
+        )
+        u = edges.unionByName(chip_rows)
+        part = Window.partitionBy("node")
+        ordered = Window.partitionBy("node").orderBy("ts")
+        # edge-value mass at ≤ts / <ts of each row (range frames handle
+        # timestamp ties exactly like searchsorted side right/left)
+        prefix_le = F.sum("ev").over(ordered.rangeBetween(Window.unboundedPreceding, 0))
+        prefix_lt = F.sum("ev").over(ordered.rangeBetween(Window.unboundedPreceding, -1))
+        total_ev = F.sum("ev").over(part)
+        W = (total_ev - prefix_le) if forward else prefix_lt
+        u = u.withColumn(
+            "_contrib",
+            F.when((~F.col("is_edge")) & (W > 0), F.col("cv") / W).otherwise(F.lit(0.0)),
+        )
+        density = (
+            F.sum("_contrib").over(ordered.rangeBetween(Window.unboundedPreceding, -1))
+            if forward else
+            F.sum("_contrib").over(ordered.rangeBetween(1, Window.unboundedFollowing))
+        )
+        edge_bound = (
+            F.max(F.when(F.col("is_edge"), F.col("ts"))).over(part) if forward
+            else F.min(F.when(F.col("is_edge"), F.col("ts"))).over(part)
+        )
+        u = u.withColumn("_density", F.coalesce(density, F.lit(0.0))).withColumn(
+            "_bound", edge_bound
+        )
+        # new chips: one per edge row, at the edge's timestamp, slotted in
+        # the side's ts-sorted canonical order for the first-touch key
+        slot_w = Window.partitionBy("node").orderBy("ts", "_bn", "id")
+        new_chips = (
+            u.where(F.col("is_edge"))
+            .withColumn("_srank", F.row_number().over(slot_w).cast("long"))
+            .select(
+                F.col("target").alias("node"), "ts",
+                (F.lit(coeff) * F.col("ev") * F.col("_density")).alias("val"),
+                F.struct(
+                    F.lit(wave).cast("long").alias("wave"),
+                    F.col("_pseq").alias("pseq"),
+                    (F.col("_slot_base") + F.col("_srank")).alias("slot"),
+                ).alias("fk"),
+            )
+            # zero-value chips are kept deliberately: the sequential
+            # kernel adds them too, and their FIRST TOUCH fixes the
+            # node's insertion-order tiebreak
+        )
+        consumed = (
+            F.col("ts") < F.coalesce(F.col("_bound"), F.lit(_TS_NEG_INF)) if forward
+            else F.col("ts") > F.coalesce(F.col("_bound"), F.lit(-_TS_NEG_INF))
+        )
+        recycled = (
+            u.where((~F.col("is_edge")) & (~consumed))
+            .select("node", "ts", (F.lit(coeff) * F.col("cv")).alias("val"))
+        )
+        return new_chips, recycled
+
+    def run(self, source: str, max_pops: int | None = None) -> TtrTimeWaveState:
+        spark = self.spark
+        st = TtrTimeWaveState(
+            wave=0,
+            chips=spark.createDataFrame([(source, 0, 1.0)], CHIPS_SCHEMA)
+            .localCheckpoint(eager=True),
+            meta=spark.createDataFrame([(source, 0.0, (0, -1, -1))], TTRTIME_META_SCHEMA)
+            .localCheckpoint(eager=True),
+            pop_log_df=spark.createDataFrame(
+                [], "seq long, node string, residual double, wave long"),
+            next_seq=0,
+        )
+        seeded = False
+        pop_order = [F.desc("r"), F.asc("fk")]
+        seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
+        while True:
+            wave = st.wave + 1
+            budget = self.k
+            if max_pops is not None:
+                budget = min(budget, max_pops - st.next_seq)
+            if budget <= 0:
+                break
+            sums = st.chips.groupBy("node").agg(F.sum("val").alias("r"))
+            popped = (
+                sums.where(F.col("r") > self.epsilon)
+                .join(st.meta.select("node", "fk"), on="node", how="inner")
+                .orderBy(*pop_order).limit(budget)
+                .withColumn("seq", (F.lit(st.next_seq) - 1
+                                    + F.row_number().over(seq_w)).cast("long"))
+                .select("seq", "node", F.col("r").alias("residual"))
+                .localCheckpoint(eager=True)
+            )
+            n_pops = popped.count()
+            if n_pops == 0:
+                break
+            popped.select(
+                "seq", "node", "residual", F.lit(wave).cast("long").alias("wave")
+            ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
+            wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
+
+            if not seeded:
+                # wave 1 pops the source: the first push only SEEDS
+                # (reference VecTtrTime.push); the source keeps its
+                # seeded chips and its pre-seed unit chip is consumed
+                seeded = True
+                new_chips = self._seed(source, wave).localCheckpoint(eager=True)
+                new_meta = (
+                    st.meta.withColumn(
+                        "p",
+                        F.when(F.col("node") == source, F.lit(self.alpha))
+                        .otherwise(F.col("p")),
+                    ).localCheckpoint(eager=True)
+                )
+            else:
+                pop_key = popped.select("node", F.col("seq").alias("_pseq"),
+                                        F.col("residual").alias("_r"))
+                chips_pop = st.chips.join(F.broadcast(pop_key.select("node")),
+                                          on="node", how="leftsemi")
+                rest = st.chips.join(F.broadcast(pop_key.select("node")),
+                                     on="node", how="left_anti")
+                fwd_edges = self._outs.join(F.broadcast(pop_key), on="node", how="inner")
+                n_fwd = fwd_edges.groupBy("node").agg(
+                    F.count("*").cast("long").alias("_nf"))
+                bwd_edges = (
+                    self._ins.join(F.broadcast(pop_key), on="node", how="inner")
+                    .join(F.broadcast(n_fwd), on="node", how="left")
+                )
+                fwd_new, fwd_rec = self._direction(
+                    chips_pop,
+                    fwd_edges.withColumn("_slot_base", F.lit(0).cast("long")),
+                    wave, forward=True)
+                bwd_new, bwd_rec = self._direction(
+                    chips_pop,
+                    bwd_edges.withColumn(
+                        "_slot_base", F.coalesce(F.col("_nf"), F.lit(0)).cast("long")
+                    ).drop("_nf"),
+                    wave, forward=False)
+                new_chips = (
+                    rest.unionByName(fwd_new.drop("fk"))
+                    .unionByName(bwd_new.drop("fk"))
+                    .unionByName(fwd_rec).unionByName(bwd_rec)
+                    .groupBy("node", "ts").agg(F.sum("val").alias("val"))
+                    .localCheckpoint(eager=True)
+                )
+                # meta: p += α·r for pops; first-touch fk for new nodes
+                fk_new = fwd_new.select("node", "fk").unionByName(
+                    bwd_new.select("node", "fk"))
+                base_meta = (
+                    st.meta.join(F.broadcast(pop_key.select("node", "_r")),
+                                 on="node", how="left")
+                    .select(
+                        "node",
+                        (F.col("p") + F.coalesce(F.col("_r") * self.alpha,
+                                                 F.lit(0.0))).alias("p"),
+                        "fk",
+                    )
+                )
+                new_meta = (
+                    base_meta.unionByName(
+                        fk_new.select("node", F.lit(0.0).alias("p"), "fk"))
+                    .groupBy("node")
+                    .agg(F.sum("p").alias("p"), F.min("fk").alias("fk"))
+                    .localCheckpoint(eager=True)
+                )
+            st = TtrTimeWaveState(
+                wave=wave,
+                chips=new_chips,
+                meta=new_meta,
+                pop_log_df=st.pop_log_df.unionByName(wave_pops),
+                next_seq=st.next_seq + n_pops,
+                lineage=st.lineage,
+            )
+            st.lineage.append({"wave": wave, "pops": n_pops, "next_seq": st.next_seq})
+        return st

@@ -119,6 +119,13 @@ def main():
                 spark, edges, k=args.wave_k,
                 **({"epsilon": args.epsilon} if args.epsilon else {}),
             )
+        elif args.strategy == "TTRTime":
+            from blockchainspider_spark.engine.wave_weighted import TtrTimeWaveEngine
+
+            engine = TtrTimeWaveEngine(
+                spark, edges, k=args.wave_k,
+                **({"epsilon": args.epsilon} if args.epsilon else {}),
+            )
         else:
             ap.error(f"no wave-batched form for strategy {args.strategy}")
         state = engine.run(source, max_pops=10_000)
