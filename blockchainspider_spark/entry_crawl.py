@@ -213,6 +213,77 @@ def q_sim_ann_ivf_sql():
     """
 
 
+def q_crawl_haircut_wave_pop_order(spark, sf_dir):
+    """Wave-batched Haircut pop order, driver-adjudicated with a FULL
+    SQL oracle: over a two-level value tree every node's weight is the
+    product of value shares along its unique path (no re-convergence,
+    no re-pops), and the heap property (child share < 1 ⇒ child weight
+    < parent weight, parents pop first so every node is discovered
+    before its global turn) makes the argmax pop sequence EQUAL to the
+    global weight-desc sort — so DuckDB re-derives the entire pop log
+    analytically. Weights are chosen pairwise-distinct so the
+    insertion-order tiebreak never engages; one child falls below
+    min_weight and must not pop."""
+    import os
+
+    from blockchainspider_spark.engine.wave_haircut import HaircutWaveEngine
+
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .where((F.col("event_id") >= 1) & (F.col("event_id") <= 8))
+        .select(F.col("event_id").alias("i"))
+    )
+    children = ids.select(
+        F.lit("hwroot").alias("address_from"),
+        F.concat(F.lit("hwn"), F.col("i")).alias("address_to"),
+        (F.col("i") + 3).cast("string").alias("value"),
+    )
+    grand = ids.where(F.col("i") <= 2).select(
+        F.lit("hwn8").alias("address_from"),
+        F.concat(F.lit("hwm"), F.col("i")).alias("address_to"),
+        (F.col("i") + 1).cast("string").alias("value"),
+    )
+    edges = children.unionByName(grand).select(
+        F.md5(F.concat_ws("_", "address_from", "address_to")).alias("id"),
+        F.lit("0x0").alias("hash"),
+        "address_from", "address_to", "value",
+        F.lit("").alias("token_id"),
+        F.lit(0).cast("long").alias("timestamp"),
+        F.lit(0).cast("long").alias("block_number"),
+        F.lit("0x" + "0" * 40).alias("contract_address"),
+        F.lit("native").alias("symbol"),
+        F.lit(18).alias("decimals"),
+        F.lit("0").alias("gas"),
+        F.lit("0").alias("gas_price"),
+    )
+    st = HaircutWaveEngine(spark, edges, k=1, min_weight=0.07).run("hwroot")
+    return st.pop_log_df.select(
+        "seq", "node", F.round("weight", 6).alias("weight")
+    )
+
+
+def q_crawl_haircut_wave_pop_order_sql():
+    # closed-form weights: child i share (i+3)/60 of the root's 1.0
+    # (sum of i+3 for i=1..8 is 60); grandchildren under hwn8 share
+    # (i+1)/5 of hwn8's 11/60; pop order = weight desc (heap property)
+    return """
+    WITH ids AS (
+      SELECT event_id AS i FROM events WHERE event_id BETWEEN 1 AND 8
+    ),
+    nodes AS (
+      SELECT 'hwroot' AS node, CAST(1.0 AS DOUBLE) AS w
+      UNION ALL
+      SELECT 'hwn' || i, (i + 3)::DOUBLE / 60.0 FROM ids
+      UNION ALL
+      SELECT 'hwm' || i, (11.0 / 60.0) * ((i + 1)::DOUBLE / 5.0)
+      FROM ids WHERE i <= 2
+    )
+    SELECT CAST(row_number() OVER (ORDER BY w DESC) - 1 AS BIGINT) AS seq,
+           node, round(w, 6) AS weight
+    FROM nodes WHERE w >= 0.07
+    """
+
+
 def build_crawl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):
