@@ -39,14 +39,22 @@ def _collect_suites(idx: int) -> dict:
     A suite that fails to import is reported LOUDLY on stderr — a silent
     ``except ImportError: pass`` once shrank the gate from 73 rows to 50
     with no one noticing. Import failures in one suite don't take down
-    the others."""
-    from blockchainspider_spark.entry_queries import build_suite
+    the others.
 
-    out = build_suite()[idx]
+    Suite order matters: the driver adjudicates only the FIRST 50 entries
+    in insertion order. Rounds 1-3 led with entry_queries, so the whole
+    entry_etl suite (25 rows) plus sim_ann_ivf and
+    crawl_haircut_wave_pop_order never got an official CORRECTNESS row.
+    Round 4 rotates: (etl 25, crawl, dedup 12, queries 34) puts every
+    previously-dark row inside the window; the rotated-out entry_queries
+    tail has been driver-green twice and stays covered by the full-gate
+    runs of tools/check_entry.py at sf0.01 and sf0.1."""
+    out: dict = {}
     suites = [
-        ("entry_dedup", "build_dedup_suite"),
-        ("entry_crawl", "build_crawl_suite"),
         ("entry_etl", "build_etl_suite"),
+        ("entry_crawl", "build_crawl_suite"),
+        ("entry_dedup", "build_dedup_suite"),
+        ("entry_queries", "build_suite"),
     ]
     for mod_name, builder_name in suites:
         try:
