@@ -224,7 +224,7 @@ class TtrWaveEngine:
 
 APPR_STATE_SCHEMA = (
     "node string, r double, p double, fk struct<wave:long,pseq:long,slot:long>, "
-    "fetched boolean"
+    "fetched boolean, isolated boolean"
 )
 
 
@@ -297,8 +297,6 @@ class ApprWaveEngine:
         # persisted; at cluster scale this is the table you bucket by
         # `node`.
         touch = adapted.selectExpr(
-            "stack(2, address_from, address_to) as node", "*"
-        ) if False else adapted.selectExpr(
             "stack(2, `from`, `to`) as node", "`from`", "`to`", "_bn", "_ts", "id"
         )
         edge_w = Window.partitionBy("node").orderBy("_bn", "_ts", "id")
@@ -326,8 +324,14 @@ class ApprWaveEngine:
         """One Jacobi drain iteration: every crawled node with r > ε
         pushes simultaneously. Returns (new_state, n_pushed)."""
         # state is localCheckpoint'ed by the caller, so this filter is a
-        # cheap deterministic re-read — no extra materialization needed
-        pushers = state.where(F.col("fetched") & (F.col("r") > self.epsilon)).select(
+        # cheap deterministic re-read — no extra materialization needed.
+        # Isolated nodes (zero distinct neighbors) are excluded like the
+        # reference drain (appr.py pop(): a cached empty dist is falsy →
+        # skipped); they re-pop instead, and their pop-time push zeroes r
+        # in run() — so no per-iteration degree join is needed here.
+        pushers = state.where(
+            F.col("fetched") & (~F.col("isolated")) & (F.col("r") > self.epsilon)
+        ).select(
             F.col("node").alias("_pn"), F.col("r").alias("_pr"),
             F.col("fk.pseq").alias("_ppseq"),
         )
@@ -351,6 +355,7 @@ class ApprWaveEngine:
                     F.col("nrank").alias("slot"),
                 ).alias("fk"),
                 F.lit(False).alias("fetched"),
+                F.lit(False).alias("isolated"),
             )
         )
         pushed = pushers.select(F.col("_pn").alias("node"), F.col("_pr"))
@@ -362,14 +367,15 @@ class ApprWaveEngine:
                 "node",
                 F.when(F.col("_pr").isNotNull(), 0.0).otherwise(F.col("r")).alias("r"),
                 (F.col("p") + F.coalesce(F.col("_pr") * self.alpha, F.lit(0.0))).alias("p"),
-                "fk", "fetched",
+                "fk", "fetched", "isolated",
             )
         )
         new_state = (
             base.unionByName(deltas)
             .groupBy("node")
             .agg(F.sum("r").alias("r"), F.sum("p").alias("p"),
-                 F.min("fk").alias("fk"), F.max("fetched").alias("fetched"))
+                 F.min("fk").alias("fk"), F.max("fetched").alias("fetched"),
+                 F.max("isolated").alias("isolated"))
             .localCheckpoint(eager=True)
         )
         return new_state, n
@@ -377,7 +383,7 @@ class ApprWaveEngine:
     def run(self, source: str, max_pops: int | None = None) -> ApprWaveState:
         spark = self.spark
         state_df = spark.createDataFrame(
-            [(source, 1.0, 0.0, (0, -1, -1), False)], APPR_STATE_SCHEMA
+            [(source, 1.0, 0.0, (0, -1, -1), False, False)], APPR_STATE_SCHEMA
         ).localCheckpoint(eager=True)
         pop_order = [F.desc("r"), F.asc("fk")]
         seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
@@ -409,8 +415,9 @@ class ApprWaveEngine:
             if budget <= 0:
                 st = ApprWaveState(wave, state, st.pop_log_df, st.next_seq, st.lineage)
                 break
-            # post-drain, every node above ε is uncrawled — the argmax
-            # over all nodes equals the argmax over uncrawled ones
+            # post-drain, any node above ε is either uncrawled or an
+            # isolated re-pop (zero distinct neighbors — excluded from
+            # the drain exactly like the reference's falsy-cache skip)
             popped = (
                 state.where(F.col("r") > self.epsilon)
                 .orderBy(*pop_order).limit(budget)
@@ -428,12 +435,31 @@ class ApprWaveEngine:
             ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
             wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
             # mark crawled; carry the pop seq into fk.pseq so later drain
-            # scatters from this node order by its pop sequence
-            mark = popped.select("node", F.col("seq").alias("_seq"))
+            # scatters from this node order by its pop sequence. A popped
+            # node with zero distinct neighbors gets its push applied
+            # HERE (p += α·r, r = 0, empty scatter — reference push with
+            # an empty neighbor set) and is flagged isolated so the drain
+            # never touches it again; it re-pops if it ever regains mass,
+            # exactly like the sequential engine.
+            has_nbrs = (
+                self._nbrs.join(F.broadcast(popped.select("node")),
+                                on="node", how="leftsemi")
+                .select("node").distinct()
+                .withColumn("_has_nbrs", F.lit(True))
+            )
+            mark = (
+                popped.select("node", F.col("seq").alias("_seq"),
+                              F.col("residual").alias("_res"))
+                .join(F.broadcast(has_nbrs), on="node", how="left")
+            )
+            pop_isolated = F.col("_seq").isNotNull() & F.col("_has_nbrs").isNull()
             new_state = (
                 state.join(F.broadcast(mark), on="node", how="left")
                 .select(
-                    "node", "r", "p",
+                    "node",
+                    F.when(pop_isolated, 0.0).otherwise(F.col("r")).alias("r"),
+                    (F.col("p") + F.when(pop_isolated, F.col("_res") * self.alpha)
+                     .otherwise(F.lit(0.0))).alias("p"),
                     F.when(
                         F.col("_seq").isNotNull(),
                         F.struct(F.col("fk.wave").alias("wave"),
@@ -441,6 +467,7 @@ class ApprWaveEngine:
                                  F.col("fk.slot").alias("slot")),
                     ).otherwise(F.col("fk")).alias("fk"),
                     (F.col("fetched") | F.col("_seq").isNotNull()).alias("fetched"),
+                    (F.col("isolated") | pop_isolated).alias("isolated"),
                 )
                 .localCheckpoint(eager=True)
             )
@@ -460,7 +487,6 @@ CHIPS_SCHEMA = "node string, ts long, val double"
 TTRTIME_META_SCHEMA = (
     "node string, p double, fk struct<wave:long,pseq:long,slot:long>"
 )
-_TS_NEG_INF = -(1 << 62)
 
 
 @dataclass
@@ -620,10 +646,18 @@ class TtrTimeWaveEngine:
             "_contrib",
             F.when((~F.col("is_edge")) & (W > 0), F.col("cv") / W).otherwise(F.lit(0.0)),
         )
+        # backward needs "chips with ts STRICTLY > edge ts"; a
+        # rangeBetween(1, following) frame over ts computes ts+1 per row,
+        # which overflows int64 on the 2^63-1 in-sentinel chip — order by
+        # the NEGATED ts instead, whose -1 bound lands exactly on min-long
+        # (same partitioning ⇒ an extra in-partition sort, no shuffle)
+        u = u.withColumn("_nts", -F.col("ts"))
         density = (
             F.sum("_contrib").over(ordered.rangeBetween(Window.unboundedPreceding, -1))
             if forward else
-            F.sum("_contrib").over(ordered.rangeBetween(1, Window.unboundedFollowing))
+            F.sum("_contrib").over(
+                Window.partitionBy("node").orderBy("_nts")
+                .rangeBetween(Window.unboundedPreceding, -1))
         )
         edge_bound = (
             F.max(F.when(F.col("is_edge"), F.col("ts"))).over(part) if forward
@@ -651,9 +685,14 @@ class TtrTimeWaveEngine:
             # kernel adds them too, and their FIRST TOUCH fixes the
             # node's insertion-order tiebreak
         )
-        consumed = (
-            F.col("ts") < F.coalesce(F.col("_bound"), F.lit(_TS_NEG_INF)) if forward
-            else F.col("ts") > F.coalesce(F.col("_bound"), F.lit(-_TS_NEG_INF))
+        # consumption requires an ACTUAL eligible edge: a node with no
+        # edges on this side has _bound NULL and recycles every chip —
+        # including the ts=2^63-1 in-sentinel, which a coalesced finite
+        # bound would silently consume (the sequential kernel's
+        # searchsorted over an empty edge set never consumes)
+        consumed = F.col("_bound").isNotNull() & (
+            (F.col("ts") < F.col("_bound")) if forward
+            else (F.col("ts") > F.col("_bound"))
         )
         recycled = (
             u.where((~F.col("is_edge")) & (~consumed))

@@ -227,21 +227,27 @@ def crawl_labelcloud(spark, renderer, site: str = "etherscan",
     root = f"https://{site}.example/labelcloud"
     seed = spark.createDataFrame([(root,)], "url string")
     cloud = parse_label_cloud(fetch_rendered(seed, renderer), list(categories))
+    # every fetch_rendered output is persisted before it fans out: each
+    # downstream branch (the self-shaped join carrying size/category
+    # through, the per-category union loop) would otherwise re-evaluate
+    # the render kernel — harmless with FakeRenderer, but a real
+    # side-effecting webdriver must hit each URL exactly once
     nav_urls = cloud.select(
         F.expr("concat('https://', parse_url(url, 'HOST'))").alias("_root"),
         "href", "size", "category",
     ).select(
         F.concat("_root", "href").alias("url"), "size", "category",
-    )
+    ).persist()
     # fetch each label's navigation page, carrying stage-1 size through
     nav_pages = (
-        fetch_rendered(nav_urls, renderer)
+        fetch_rendered(nav_urls, renderer).persist()
         .join(nav_urls.select("url", "size", "category"), on="url", how="inner")
     )
     fanout = paginate_navigation(nav_pages, page_size=page_size)
-    label_by_page = fanout.select("page_url", "label", "category")
+    label_by_page = fanout.select("page_url", "label", "category").persist()
     pages = (
         fetch_rendered(label_by_page.select(F.col("page_url").alias("url")), renderer)
+        .persist()
         .join(label_by_page.withColumnRenamed("page_url", "url"), on="url", how="inner")
     )
     out = None
