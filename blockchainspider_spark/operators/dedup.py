@@ -21,6 +21,7 @@ lacks them). Scale notes per operator:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -283,23 +284,31 @@ def kmeans_train(
     (groupBy over posexploded components: a map-side-combining agg, no
     vectors ever collect except the k centroids themselves). Empty
     clusters keep their previous centroid."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
     base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     centroids = [list(map(float, r.v)) for r in base.orderBy("vid").limit(k).collect()]
     for _ in range(iters):
-        cent_lit = F.array(*[
-            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(x) for x in c]).alias("cv"))
-            for i, c in enumerate(centroids)
-        ])
-        d2 = lambda cv: F.aggregate(  # noqa: E731
-            F.zip_with("v", cv, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, x: s + x
-        )
-        # assignment is a NARROW map: array_min over (d2, cid) structs =
-        # lexicographic min = nearest centroid with lowest-cid tie-break —
-        # no explode, no window, no shuffle until the mean agg
-        nearest = F.array_min(
-            F.transform(cent_lit, lambda c: F.struct(d2(c["cv"]).alias("d2"), c["cid"].alias("cid")))
-        )["cid"]
-        assigned = base.select(nearest.alias("cid"), "v")
+        # assignment is a NARROW map: the k×dims centroid matrix travels
+        # in the UDF closure (never as plan literals — a nested-F.lit
+        # tree is O(k·dims) Catalyst nodes and stalls analysis at real
+        # embedding widths) and each Arrow batch scores against it with
+        # one BLAS matmul; np.argmin's first-minimal-index rule is the
+        # lowest-cid tie-break — no explode, no shuffle until the mean agg
+        cent_mat = np.array(centroids, dtype=np.float64)
+        cent_sq = (cent_mat * cent_mat).sum(axis=1)
+
+        @pandas_udf(LongType())
+        def nearest_cid(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype="int64")
+            X = np.array(vs.tolist(), dtype=np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] + cent_sq[None, :] - 2.0 * (X @ cent_mat.T)
+            return pd.Series(np.argmin(d2, axis=1).astype("int64"))
+
+        assigned = base.select(nearest_cid("v").alias("cid"), "v")
         means = (
             assigned.select("cid", F.posexplode("v").alias("dim", "x"))
             .groupBy("cid", "dim")
@@ -373,29 +382,31 @@ def ann_lsh_bucketed(
     candidate set before the exact cosine top-k. Deterministic planes
     (hash-seeded), multi-probe = exact bucket only; recall traded for
     the 1/2^planes candidate cut."""
-    dims = len(emb.select(vec_col).first()[0])
     import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
 
-    rng = np.random.default_rng(12345)
-    planes = rng.standard_normal((n_planes, dims))
-    plane_lits = F.array(*[
-        F.array(*[F.lit(float(x)) for x in row]) for row in planes
-    ])
+    n_planes_i, seed = int(n_planes), 12345
+
+    @pandas_udf(IntegerType())
+    def sign_bucket(vs: pd.Series) -> pd.Series:
+        """Seeded hyperplane matrix lives in the kernel (regenerated per
+        batch from the fixed seed — deterministic for a given dims), so
+        the Catalyst plan is O(1) in embedding width; the old nested
+        F.lit array tree was O(planes·dims) nodes and ground analysis to
+        a halt at 768+ dims. One BLAS matmul per Arrow batch, sign bits
+        packed MSB-first (plane 0 = top bit, matching the fold
+        acc*2+bit it replaces)."""
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        X = np.array(vs.tolist(), dtype=np.float64)
+        planes = np.random.default_rng(seed).standard_normal((n_planes_i, X.shape[1]))
+        bits = (X @ planes.T) > 0
+        weights = (1 << np.arange(n_planes_i - 1, -1, -1)).astype(np.int64)
+        return pd.Series((bits @ weights).astype("int32"))
+
     base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
-    sig = base.withColumn(
-        "bucket",
-        F.aggregate(
-            F.transform(
-                plane_lits,
-                lambda p: F.when(
-                    F.aggregate(F.zip_with("v", p, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x) > 0,
-                    F.lit(1),
-                ).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, bit: acc * 2 + bit,
-        ),
-    )
+    sig = base.withColumn("bucket", sign_bucket("v"))
     norm = sig.withColumn(
         "n", F.sqrt(F.aggregate(F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda s, x: s + x))
     )

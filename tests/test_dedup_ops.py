@@ -106,3 +106,76 @@ def test_cosine_pairs_small_ok(spark):
     }))
     got = {(r.a, r.b) for r in D.cosine_pairs(emb, threshold=0.9).collect()}
     assert got == {(0, 1)}
+
+
+def _optimized_plan(df) -> str:
+    import re
+
+    # strip expression ids (#123) and lambda-variable counters (x_3) —
+    # session-global counters that differ between otherwise identical plans
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = re.sub(r"#\d+", "#", plan)
+    return re.sub(r"lambda [a-z]+_\d+", "lambda v", plan)
+
+
+def test_ann_plans_independent_of_embedding_width(spark):
+    """768-dim embeddings must analyze+run as fast as 8-dim ones: the
+    hyperplane/centroid matrices travel in pandas-UDF closures, never as
+    nested F.lit trees, so the Catalyst plan size cannot grow with dims
+    (the literal-tree version stalled analysis before reading a row)."""
+    import numpy as np
+
+    def emb_of(dims, n=40):
+        rng = np.random.default_rng(99)
+        vecs = rng.standard_normal((n, dims))
+        pdf = pd.DataFrame({
+            "vec_id": range(n),
+            "embedding": [list(map(float, v)) for v in vecs],
+        })
+        return spark.createDataFrame(pdf)
+
+    small, wide = emb_of(8), emb_of(768)
+    # 2 planes = 4 buckets: collisions guaranteed even for 768-dim
+    # uniform vectors, so the wide run returns rows to assert on
+    lsh_small = D.ann_lsh_bucketed(small, n_queries=3, k=2, n_planes=2)
+    lsh_wide = D.ann_lsh_bucketed(wide, n_queries=3, k=2, n_planes=2)
+    assert len(_optimized_plan(lsh_wide)) == len(_optimized_plan(lsh_small))
+    rows = lsh_wide.collect()
+    assert len(rows) > 0
+    assert all(r.query_id != r.neighbor_id for r in rows)
+
+    cents = D.kmeans_train(wide, k=4, iters=2)
+    assert len(cents) == 4 and len(cents[0]) == 768
+    ivf = D.ann_ivf(wide, n_queries=3, k=2, centroids=cents)
+    assert ivf.count() > 0
+
+
+def test_ann_lsh_buckets_match_seeded_planes(spark):
+    """The kernel's bucket assignment equals a driver-side numpy replay
+    with the same seed — the determinism contract the recall gate row
+    depends on."""
+    import numpy as np
+
+    dims, n_planes = 16, 6
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, dims))
+    pdf = pd.DataFrame({
+        "vec_id": range(30),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    emb = spark.createDataFrame(pdf)
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # reach the signature stage via the public operator's internals:
+    # rebuild expected buckets with the documented seed/packing
+    planes = np.random.default_rng(12345).standard_normal((n_planes, dims))
+    bits = (vecs @ planes.T) > 0
+    weights = 1 << np.arange(n_planes - 1, -1, -1)
+    want = dict(zip(range(30), (bits @ weights).astype(int)))
+
+    out = D.ann_lsh_bucketed(emb, n_queries=30, k=50, n_planes=n_planes)
+    # every returned (query, neighbor) pair shares a bucket in the replay
+    for r in out.collect():
+        assert want[r.query_id] == want[r.neighbor_id], r
