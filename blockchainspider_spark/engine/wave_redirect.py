@@ -1,0 +1,370 @@
+"""Wave-batched TTRRedirect — the last weighted strategy family to get a
+DataFrame-resident throughput engine (reference strategies/txs/ttr.py
+TTRRedirect, :334-825; sequential twin engine/strategies_vec.VecTtrRedirect).
+
+Division of labor, per SURVEY §2.5:
+
+* **state + pop (A12/A13)** — chips live in a ``(node, symbol, ts, val)``
+  DataFrame; each wave's pop is one ``groupBy(node).sum`` plus a
+  TakeOrderedAndProject top-k on ``(r desc, fk asc)`` where ``fk`` is the
+  first-touch key reproducing the sequential chips-dict insertion-order
+  tiebreak (same contract as the other wave engines).
+* **A9 seed + A10 chip merge** — pure DataFrame aggregations: the seed's
+  per-symbol in/out sums are one ``groupBy(symbol)`` (with the reference's
+  scan-order quirks as ``when`` chains), and every wave's chip merge is
+  ``groupBy(node, symbol, ts).sum(val)``.
+* **J8 netting + A7-shaped distribution + A11 walk** — one
+  ``applyInPandas`` kernel per POPPED node over its edge slice ∪ chip
+  slice. The reference's move-to-end / sign-flip-timestamp netting fold
+  and the swap-leg stack walk are genuinely sequential *within a node's
+  batch* (the set-level netting is separately pinned as a DataFrame agg by
+  the a8 gate row); the kernel reuses the vectorized per-node strategy
+  (``VecTtrRedirect``) so the wave engine and the exact engine share one
+  numeric core — k=1 parity is then structural, and the oracle/ ports
+  remain the independent implementation for equivalence tests.
+
+Scale shape: per wave, the only non-broadcast exchanges are the chip
+merge groupBy and the applyInPandas grouping over ≤k popped nodes;
+edges are probed via a broadcast of the (≤k)-row pop set against the
+persisted endpoint-exploded touch view (bucket it by ``node`` on a real
+cluster). State is localCheckpoint'ed per wave; ``checkpoint_dir``
+(durable parquet snapshots + ``resume``) mirrors the other engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.operators.transfers import with_symbol_identity
+
+REDIRECT_CHIPS_SCHEMA = "node string, symbol string, ts long, val double"
+REDIRECT_META_SCHEMA = (
+    "node string, p double, fk struct<wave:long,pseq:long,slot:long>"
+)
+_PUSH_OUT_SCHEMA = "node string, symbol string, ts long, val double, pseq long, slot long"
+_MAX_TS = (1 << 63) - 1  # sys.maxsize — the reference's in-sentinel stamp
+
+
+@dataclass
+class TtrRedirectWaveState:
+    wave: int
+    chips: DataFrame               # (node, symbol, ts, val)
+    meta: DataFrame                # (node, p, fk)
+    pop_log_df: DataFrame          # (seq, node, residual, wave)
+    next_seq: int
+    lineage: list = field(default_factory=list)
+
+    @property
+    def pop_log(self) -> list[tuple[int, str]]:
+        return [(row.seq, row.node) for row in
+                self.pop_log_df.select("seq", "node").orderBy("seq").collect()]
+
+    def ranks(self) -> dict:
+        return {row.node: row.p for row in
+                self.meta.select("node", "p").where(F.col("p") > 0).collect()}
+
+
+def _push_kernel(alpha: float, beta: float, epsilon: float):
+    """Per-popped-node push: rebuild the node's chip dict, run the shared
+    per-node strategy core (J8 netting → temporal distribution → A11
+    walk → recycle), emit every produced chip row with its first-touch
+    slot (= the node's insertion position in the strategy's chips dict —
+    exactly the sequential pop tiebreak)."""
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from blockchainspider_spark.engine.strategies_vec import VecTtrRedirect
+
+        node = pdf["_node"].iloc[0]
+        pseq = int(pdf["_pseq"].iloc[0])
+        model = VecTtrRedirect(
+            "\x00-no-source", alpha=alpha, beta=beta, epsilon=epsilon
+        )
+        model._seeded = True  # non-seed push path
+        d = model._chips_of(node)
+        chips_rows = pdf[pdf["_kind"] == "c"].sort_values(
+            ["timeStamp", "symbol"], kind="mergesort"
+        )
+        for sym, ts, v in zip(
+            chips_rows["symbol"], chips_rows["timeStamp"], chips_rows["cval"]
+        ):
+            key = (sym, int(ts))
+            d[key] = d.get(key, 0.0) + float(v)
+        ed = pdf[pdf["_kind"] == "e"].sort_values(
+            ["_bn", "timeStamp", "id"], kind="mergesort"
+        )
+        batch = pd.DataFrame({
+            "id": ed["id"].to_numpy(),
+            "hash": ed["hash"].to_numpy(),
+            "from": ed["from"].to_numpy(),
+            "to": ed["to"].to_numpy(),
+            "value": ed["value"].to_numpy(dtype=np.float64),
+            "timeStamp": ed["timeStamp"].to_numpy(dtype=np.int64),
+            "symbol": ed["symbol"].to_numpy(),
+        })
+        model.push(node, batch)
+        out = {"node": [], "symbol": [], "ts": [], "val": [], "pseq": [], "slot": []}
+        for slot, (n, chips_d) in enumerate(model.chips.items()):
+            for (sym, ts), v in chips_d.items():
+                out["node"].append(n)
+                out["symbol"].append(sym)
+                out["ts"].append(int(ts))
+                out["val"].append(float(v))
+                out["pseq"].append(pseq)
+                out["slot"].append(slot)
+        return pd.DataFrame({
+            "node": pd.Series(out["node"], dtype=object),
+            "symbol": pd.Series(out["symbol"], dtype=object),
+            "ts": pd.Series(out["ts"], dtype="int64"),
+            "val": pd.Series(out["val"], dtype="float64"),
+            "pseq": pd.Series(out["pseq"], dtype="int64"),
+            "slot": pd.Series(out["slot"], dtype="int64"),
+        })
+
+    return kernel
+
+
+class TtrRedirectWaveEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        k: int = 1,
+        alpha: float = 0.15,
+        beta: float = 0.8,
+        epsilon: float = 1e-3,
+        work_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.k = int(k)
+        self.alpha, self.beta, self.epsilon = float(alpha), float(beta), float(epsilon)
+        self._work_dir = work_dir or tempfile.mkdtemp(prefix="redirectwave-")
+        adapted = with_symbol_identity(edges).select(
+            F.col("id"),
+            F.col("hash"),
+            F.col("address_from").alias("from"),
+            F.col("address_to").alias("to"),
+            F.col("value_d").alias("value"),
+            F.col("timestamp").cast("long").alias("ts"),
+            F.col("symbol_identity").alias("symbol"),
+            F.col("block_number").alias("_bn"),
+        )
+        # endpoint-exploded touch view: each edge once per DISTINCT
+        # endpoint (a self-loop appears once, like the sequential
+        # engine's OR-filtered batch); bucket by `node` at cluster scale
+        self._touch = adapted.select(
+            F.explode(F.array_distinct(F.array("from", "to"))).alias("node"),
+            "id", "hash", "from", "to", "value", "ts", "symbol", "_bn",
+        ).persist()
+
+    def _pop_wave_dir(self, wave: int) -> str:
+        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+
+    def _seed_chips(self, source: str, wave: int) -> tuple[DataFrame, int]:
+        """The reference's one-time seed as DataFrame aggregations (A9):
+        per-symbol in/out sums with the scan-order quirks — self-loops
+        count into in_sum (`to` checked first), but scatter checks `from`
+        first — then per-edge chip values, plus per-symbol sentinel chips
+        (out_sum==0 → ts=0 out-coeff chip, elif in_sum==0 → ts=maxint
+        in-coeff chip). Returns (chip rows with first-touch slots,
+        n_symbols) — p[source] becomes α·n_symbols."""
+        t = self._touch.where(F.col("node") == source)
+        is_in = F.col("to") == source
+        is_out = (F.col("from") == source) & (~is_in)
+        sums = t.groupBy("symbol").agg(
+            F.coalesce(F.sum(F.when(is_in, F.col("value"))), F.lit(0.0)).alias("in_sum"),
+            F.coalesce(F.sum(F.when(is_out, F.col("value"))), F.lit(0.0)).alias("out_sum"),
+        ).persist()
+        n_symbols = sums.count()
+        out_coeff = (1 - self.alpha) * self.beta
+        in_coeff = (1 - self.alpha) * (1 - self.beta)
+        j = t.join(F.broadcast(sums), on="symbol", how="inner")
+        out_branch = (F.col("from") == source) & (F.col("out_sum") != 0.0)
+        in_branch = (F.col("to") == source) & (F.col("in_sum") != 0.0)
+        chip_val = (
+            F.when(out_branch, F.lit(out_coeff) * F.col("value") / F.col("out_sum"))
+            .when(in_branch, F.lit(in_coeff) * F.col("value") / F.col("in_sum"))
+        )
+        chip_tgt = F.when(out_branch, F.col("to")).when(in_branch, F.col("from"))
+        erank_w = Window.partitionBy(F.lit(0)).orderBy("_bn", "ts", "id")
+        chips = (
+            j.withColumn("_v", chip_val)
+            .withColumn("_tgt", chip_tgt)
+            .withColumn("slot", F.row_number().over(erank_w).cast("long"))
+            .where(F.col("_v").isNotNull() & (F.col("_v") > 0))
+            .select(
+                F.col("_tgt").alias("node"), "symbol",
+                F.col("ts"), F.col("_v").alias("val"), "slot",
+            )
+        )
+        sentinel = (
+            F.when(
+                F.col("out_sum") == 0.0,
+                F.struct(F.lit(0).cast("long").alias("ts"),
+                         F.lit(out_coeff).alias("val")),
+            ).when(
+                F.col("in_sum") == 0.0,
+                F.struct(F.lit(_MAX_TS).cast("long").alias("ts"),
+                         F.lit(in_coeff).alias("val")),
+            )
+        )
+        sent = (
+            sums.withColumn("_s", sentinel)
+            .where(F.col("_s").isNotNull())
+            .select(
+                F.lit(source).alias("node"), "symbol",
+                F.col("_s.ts").alias("ts"), F.col("_s.val").alias("val"),
+                F.lit(0).cast("long").alias("slot"),  # targets the source: fk unchanged
+            )
+        )
+        return chips.unionByName(sent), n_symbols
+
+    def run(self, source: str, max_pops: int | None = None) -> TtrRedirectWaveState:
+        spark = self.spark
+        st = TtrRedirectWaveState(
+            wave=0,
+            # scaffold unit chip so wave 1 pops the source (consumed at seed)
+            chips=spark.createDataFrame([(source, "", 0, 1.0)], REDIRECT_CHIPS_SCHEMA)
+            .localCheckpoint(eager=True),
+            meta=spark.createDataFrame([(source, 0.0, (0, -1, -1))], REDIRECT_META_SCHEMA)
+            .localCheckpoint(eager=True),
+            pop_log_df=spark.createDataFrame(
+                [], "seq long, node string, residual double, wave long"),
+            next_seq=0,
+        )
+        seeded = False
+        pop_order = [F.desc("r"), F.asc("fk")]
+        seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
+        kernel = _push_kernel(self.alpha, self.beta, self.epsilon)
+        while True:
+            wave = st.wave + 1
+            budget = self.k
+            if max_pops is not None:
+                budget = min(budget, max_pops - st.next_seq)
+            if budget <= 0:
+                break
+            sums = st.chips.groupBy("node").agg(F.sum("val").alias("r"))
+            popped = (
+                sums.where(F.col("r") > self.epsilon)
+                .join(st.meta.select("node", "fk"), on="node", how="inner")
+                .orderBy(*pop_order).limit(budget)
+                .withColumn("seq", (F.lit(st.next_seq) - 1
+                                    + F.row_number().over(seq_w)).cast("long"))
+                .select("seq", "node", F.col("r").alias("residual"))
+                .localCheckpoint(eager=True)
+            )
+            n_pops = popped.count()
+            if n_pops == 0:
+                break
+            popped.select(
+                "seq", "node", "residual", F.lit(wave).cast("long").alias("wave")
+            ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
+            wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
+
+            if not seeded:
+                seeded = True
+                seed_rows, n_symbols = self._seed_chips(source, wave)
+                new_chips = (
+                    seed_rows.groupBy("node", "symbol", "ts")
+                    .agg(F.sum("val").alias("val"))      # A10 as a DataFrame agg
+                    .localCheckpoint(eager=True)
+                )
+                fk_new = seed_rows.groupBy("node").agg(
+                    F.min(F.struct(
+                        F.lit(wave).cast("long").alias("wave"),
+                        F.lit(0).cast("long").alias("pseq"),
+                        F.col("slot").alias("slot"),
+                    )).alias("fk")
+                )
+                base_meta = st.meta.select(
+                    "node",
+                    F.when(F.col("node") == source,
+                           F.lit(self.alpha * n_symbols)).otherwise(F.col("p")).alias("p"),
+                    "fk",
+                )
+            else:
+                pop_key = popped.select("node", F.col("seq").alias("_pseq"),
+                                        F.col("residual").alias("_r"))
+                chips_pop = st.chips.join(F.broadcast(pop_key.select("node")),
+                                          on="node", how="leftsemi")
+                rest = st.chips.join(F.broadcast(pop_key.select("node")),
+                                     on="node", how="left_anti")
+                edges_part = (
+                    self._touch.join(F.broadcast(pop_key.select("node", "_pseq")),
+                                     on="node", how="inner")
+                    .select(
+                        F.col("node").alias("_node"), "_pseq",
+                        F.lit("e").alias("_kind"),
+                        "id", "hash", "from", "to", "value",
+                        F.col("ts").alias("timeStamp"), "_bn", "symbol",
+                        F.lit(None).cast("double").alias("cval"),
+                    )
+                )
+                chips_part = (
+                    chips_pop.join(F.broadcast(pop_key.select("node", "_pseq")),
+                                   on="node", how="inner")
+                    .select(
+                        F.col("node").alias("_node"), "_pseq",
+                        F.lit("c").alias("_kind"),
+                        F.lit("").alias("id"), F.lit("").alias("hash"),
+                        F.lit(None).cast("string").alias("from"),
+                        F.lit(None).cast("string").alias("to"),
+                        F.lit(None).cast("double").alias("value"),
+                        F.col("ts").alias("timeStamp"),
+                        F.lit(0).cast("long").alias("_bn"), "symbol",
+                        F.col("val").alias("cval"),
+                    )
+                )
+                pushed = (
+                    edges_part.unionByName(chips_part)
+                    .groupBy("_node")
+                    .applyInPandas(kernel, _PUSH_OUT_SCHEMA)
+                    .localCheckpoint(eager=True)
+                )
+                new_chips = (
+                    rest.unionByName(pushed.select("node", "symbol", "ts", "val"))
+                    .groupBy("node", "symbol", "ts")
+                    .agg(F.sum("val").alias("val"))      # A10 as a DataFrame agg
+                    .localCheckpoint(eager=True)
+                )
+                fk_new = pushed.groupBy("node").agg(
+                    F.min(F.struct(
+                        F.lit(wave).cast("long").alias("wave"),
+                        F.col("pseq").alias("pseq"),
+                        F.col("slot").alias("slot"),
+                    )).alias("fk")
+                )
+                base_meta = (
+                    st.meta.join(F.broadcast(pop_key.select("node", "_r")),
+                                 on="node", how="left")
+                    .select(
+                        "node",
+                        (F.col("p") + F.coalesce(F.col("_r") * self.alpha,
+                                                 F.lit(0.0))).alias("p"),
+                        "fk",
+                    )
+                )
+            new_meta = (
+                base_meta.unionByName(
+                    fk_new.select("node", F.lit(0.0).alias("p"), "fk"))
+                .groupBy("node")
+                .agg(F.sum("p").alias("p"), F.min("fk").alias("fk"))
+                .localCheckpoint(eager=True)
+            )
+            st = TtrRedirectWaveState(
+                wave=wave,
+                chips=new_chips,
+                meta=new_meta,
+                pop_log_df=st.pop_log_df.unionByName(wave_pops),
+                next_seq=st.next_seq + n_pops,
+                lineage=st.lineage,
+            )
+            st.lineage.append({"wave": wave, "pops": n_pops, "next_seq": st.next_seq})
+        return st

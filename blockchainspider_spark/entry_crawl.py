@@ -284,6 +284,53 @@ def q_crawl_haircut_wave_pop_order_sql():
     """
 
 
+def q_crawl_redirect_wave_pops(spark, sf_dir):
+    """Wave-batched TTRRedirect pop log — rows-only, but SELF-CHECKING:
+    the callable runs the sequential exact engine (the reference-twin
+    driver loop) on the same graph and raises unless the wave engine's
+    pop order matches exactly, so a green row certifies k=1 parity on
+    gate data (the swap-leg walk has no SQL form — SURVEY A11). The
+    graph is derived from events.parquet: modular endpoints give cycles
+    and self-loops, paired hashes give multi-leg swaps, three symbols
+    exercise the per-symbol chip flow."""
+    import os
+
+    from blockchainspider_spark.engine.exact import ExactCrawlEngine
+    from blockchainspider_spark.engine.wave_redirect import TtrRedirectWaveEngine
+
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .where((F.col("event_id") >= 1) & (F.col("event_id") <= 40))
+        .select(F.col("event_id").cast("long").alias("i"))
+    )
+    edges = ids.select(
+        F.md5(F.concat_ws("_", F.lit("rw"), "i")).alias("id"),
+        F.concat(F.lit("swap"), (F.col("i") / 2).cast("long")).alias("hash"),
+        F.concat(F.lit("rn"), (F.col("i") * 7 % 11)).alias("address_from"),
+        F.concat(F.lit("rn"), (F.col("i") * 3 % 11)).alias("address_to"),
+        ((F.col("i") % 5) + 1).cast("string").alias("value"),
+        F.lit("").alias("token_id"),
+        (F.lit(1000) + F.col("i")).cast("long").alias("timestamp"),
+        (F.lit(100) + F.col("i")).cast("long").alias("block_number"),
+        F.lit("0x" + "0" * 40).alias("contract_address"),
+        F.concat(F.lit("TOK"), F.col("i") % 3).alias("symbol"),
+        F.lit(18).alias("decimals"),
+        F.lit("0").alias("gas"),
+        F.lit("0").alias("gas_price"),
+    )
+    source, eps, n = "rn7", 5e-3, 8
+    seq = ExactCrawlEngine(spark, edges, "TTRRedirect", {"epsilon": eps}).run(
+        source, max_steps=n - 1)
+    wave = TtrRedirectWaveEngine(spark, edges, epsilon=eps).run(source, max_pops=n)
+    want = [(s, node) for s, node, _ in seq.pop_log]
+    got = wave.pop_log[: len(want)]
+    if got != want:
+        raise AssertionError(
+            f"wave TTRRedirect diverged from the sequential engine: {got} != {want}"
+        )
+    return wave.pop_log_df.select("seq", "node", F.round("residual", 6).alias("residual"))
+
+
 def build_crawl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

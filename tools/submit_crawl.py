@@ -126,6 +126,13 @@ def main():
                 spark, edges, k=args.wave_k,
                 **({"epsilon": args.epsilon} if args.epsilon else {}),
             )
+        elif args.strategy == "TTRRedirect":
+            from blockchainspider_spark.engine.wave_redirect import TtrRedirectWaveEngine
+
+            engine = TtrRedirectWaveEngine(
+                spark, edges, k=args.wave_k,
+                **({"epsilon": args.epsilon} if args.epsilon else {}),
+            )
         else:
             ap.error(f"no wave-batched form for strategy {args.strategy}")
         state = engine.run(source, max_pops=10_000)
