@@ -1,0 +1,143 @@
+"""Shared wave-engine plumbing: the fast pop-log path and durable
+checkpoints.
+
+**Pop log (VERDICT r3 "what's wrong" #2).** The weighted wave engines
+used to pay a parquet overwrite-write plus a read-back for every wave's
+≤k pop rows — the same fixed-cost shape that caused the round-2 BFS
+regression. ``PopLog`` keeps the log as a union of the per-wave
+``localCheckpoint``-resident pop DataFrames instead (each wave's rows
+are already materialized for the push join), and only touches disk to
+COMPACT the union every ``compact_every`` waves so a 10^4-wave crawl
+keeps a bounded plan. With ``durable_dir`` set, every wave is written
+to ``pop_log/wave=NNNNN`` parquet as before — that is the
+checkpoint-resume source of truth.
+
+**Durable checkpoints (VERDICT r3 "what's wrong" #4).** ``localCheckpoint``
+is executor-memory-resident: an executor loss kills the lineage (loud,
+and the right trade in local mode). ``WaveCheckpoint`` gives every
+weighted engine the BfsWaveEngine-style durable option: per-wave parquet
+snapshots of the engine's state tables plus a scalars meta.json, written
+atomically (tmp + rename) so a crash mid-write never yields a readable
+half-snapshot. ``resume()`` on an engine loads the newest complete wave,
+deletes any stale LATER snapshots (a resumed run rewrites history —
+same contract as engine/exact.py), and continues the loop.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class PopLog:
+    """Accumulates per-wave pop DataFrames without a per-wave disk
+    round-trip; optionally mirrors each wave to durable parquet."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        empty_schema: str,
+        work_dir: str,
+        durable_dir: str | None = None,
+        compact_every: int = 64,
+    ):
+        self.spark = spark
+        self._schema = empty_schema
+        self._work_dir = work_dir
+        self._durable_dir = durable_dir
+        self._compact_every = int(compact_every)
+        self._appends_since_compact = 0
+        self.df: DataFrame = spark.createDataFrame([], empty_schema)
+
+    def _wave_dir(self, wave: int) -> str:
+        root = self._durable_dir or os.path.join(self._work_dir, "pop_log")
+        return os.path.join(root, f"wave={wave:05d}")
+
+    def append(self, wave_pops: DataFrame, wave: int) -> DataFrame:
+        """``wave_pops`` must be deterministic to recompute (the engines
+        pass a projection of an eagerly localCheckpoint'ed pop set)."""
+        if self._durable_dir is not None:
+            wave_pops.write.mode("overwrite").parquet(self._wave_dir(wave))
+            wave_pops = self.spark.read.parquet(self._wave_dir(wave))
+        self.df = self.df.unionByName(wave_pops)
+        self._appends_since_compact += 1
+        if self._appends_since_compact >= self._compact_every:
+            compact_dir = os.path.join(self._work_dir, "pop_log_compact")
+            self.df.write.mode("overwrite").parquet(compact_dir)
+            self.df = self.spark.read.parquet(compact_dir)
+            self._appends_since_compact = 0
+        return self.df
+
+    def load_upto(self, wave: int) -> DataFrame:
+        """Durable mode only: rebuild the log from the per-wave parquet
+        dirs ≤ ``wave``, deleting stale later dirs."""
+        assert self._durable_dir is not None
+        paths = []
+        for p in sorted(glob.glob(os.path.join(self._durable_dir, "wave=*"))):
+            w = int(os.path.basename(p).split("=")[1])
+            if w <= wave:
+                paths.append(p)
+            else:
+                shutil.rmtree(p)
+        self.df = (
+            self.spark.read.parquet(*paths) if paths
+            else self.spark.createDataFrame([], self._schema)
+        )
+        return self.df
+
+
+class WaveCheckpoint:
+    """Per-wave durable snapshots: named state tables as parquet + a
+    scalars meta.json, atomic per wave."""
+
+    def __init__(self, spark: SparkSession, ckpt_dir: str):
+        self.spark = spark
+        self.dir = ckpt_dir
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _wave_dir(self, wave: int) -> str:
+        return os.path.join(self.dir, f"wave={wave:05d}")
+
+    def pop_log_dir(self) -> str:
+        return os.path.join(self.dir, "pop_log")
+
+    def save(self, wave: int, tables: dict[str, DataFrame], scalars: dict) -> None:
+        tmp = self._wave_dir(wave) + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"wave": wave, **scalars}, fh)
+        final = self._wave_dir(wave)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def latest_wave(self) -> int | None:
+        waves = [
+            int(os.path.basename(p).split("=")[1])
+            for p in glob.glob(os.path.join(self.dir, "wave=*"))
+            if not p.endswith(".tmp")
+        ]
+        return max(waves) if waves else None
+
+    def load(self, wave: int, table_names: list[str]) -> tuple[dict, dict]:
+        """Returns ({name: DataFrame}, scalars). Later snapshots are
+        deleted — the resumed run rewrites them."""
+        for p in glob.glob(os.path.join(self.dir, "wave=*")):
+            base = os.path.basename(p)
+            if base.endswith(".tmp") or int(base.split("=")[1]) > wave:
+                shutil.rmtree(p)
+        d = self._wave_dir(wave)
+        tables = {
+            name: self.spark.read.parquet(os.path.join(d, name))
+            for name in table_names
+        }
+        with open(os.path.join(d, "meta.json")) as fh:
+            scalars = json.load(fh)
+        return tables, scalars

@@ -22,8 +22,12 @@ resident and advances ``k`` pops per Spark wave:
   folds both. One shuffle per wave, map-side partial aggregation.
 * **state hygiene** — node_state is ``localCheckpoint(eager=True)``-ed
   per wave: bounded plan depth on long crawls and no silent recompute
-  of a nondeterministic lineage. Pops append to a per-wave parquet log
-  (the same pop-log layout as BfsWaveEngine).
+  of a nondeterministic lineage. Pops append to the log straight from
+  the localCheckpoint'ed pop set (no per-wave disk round-trip;
+  wave_common.PopLog compacts every 64 waves). With ``checkpoint_dir``
+  set, every wave also writes a durable parquet snapshot
+  (node_state + pop_log/wave=N + meta.json) and ``resume()`` continues
+  from the newest one — the BfsWaveEngine contract.
 
 With ``k=1`` the pop sequence is IDENTICAL to the sequential engine
 (pinned in tests/test_wave_haircut.py); with ``k>1`` all k pops of a
@@ -32,13 +36,13 @@ wave read the same pre-wave state — the documented batch semantics
 
 from __future__ import annotations
 
-import os
 import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from blockchainspider_spark.engine.wave_common import PopLog, WaveCheckpoint
 from blockchainspider_spark.operators.transfers import with_symbol_identity
 
 NODE_STATE_SCHEMA = (
@@ -77,12 +81,14 @@ class HaircutWaveEngine:
         min_weight: float = 1e-3,
         n_shuffle: int | None = None,
         work_dir: str | None = None,
+        checkpoint_dir: str | None = None,
     ):
         self.spark = spark
         self.k = int(k)
         self.min_weight = float(min_weight)
         self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
         self._work_dir = work_dir or tempfile.mkdtemp(prefix="haircutwave-")
+        self._ckpt = WaveCheckpoint(spark, checkpoint_dir) if checkpoint_dir else None
         # out-edge view with the canonical per-parent edge rank computed
         # ONCE (the same (_bn, ts, id) scan order the exact engine's
         # expand uses) and persisted — every wave's push re-probes it.
@@ -103,21 +109,49 @@ class HaircutWaveEngine:
             .persist()
         )
 
-    def _pop_wave_dir(self, wave: int) -> str:
-        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+    POP_LOG_SCHEMA = "seq long, node string, weight double, wave long"
+
+    def _pop_log(self) -> PopLog:
+        return PopLog(
+            self.spark, self.POP_LOG_SCHEMA, self._work_dir,
+            durable_dir=self._ckpt.pop_log_dir() if self._ckpt else None,
+        )
 
     def run(self, source: str, max_pops: int | None = None) -> HaircutWaveState:
-        spark = self.spark
-        state_df = spark.createDataFrame(
+        state_df = self.spark.createDataFrame(
             [(source, 1.0, (0, -1, -1), False)], NODE_STATE_SCHEMA
         ).localCheckpoint(eager=True)
-        pop_order = [F.desc("weight"), F.asc("fk")]
-        seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
+        plog = self._pop_log()
         st = HaircutWaveState(
-            wave=0, node_state=state_df,
-            pop_log_df=spark.createDataFrame([], "seq long, node string, weight double, wave long"),
+            wave=0, node_state=state_df, pop_log_df=plog.df,
             next_seq=0, last_pops=-1,
         )
+        return self._run_from(st, plog, max_pops)
+
+    def resume(self, max_pops: int | None = None) -> HaircutWaveState:
+        """Continue from the newest durable wave snapshot: node_state
+        from parquet, pop log rebuilt from the per-wave dirs (stale
+        later waves deleted — the continuation rewrites them)."""
+        if self._ckpt is None:
+            raise ValueError("resume() requires checkpoint_dir")
+        wave = self._ckpt.latest_wave()
+        if wave is None:
+            raise FileNotFoundError(f"no wave snapshot under {self._ckpt.dir}")
+        tables, scalars = self._ckpt.load(wave, ["node_state"])
+        plog = self._pop_log()
+        st = HaircutWaveState(
+            wave=wave,
+            node_state=tables["node_state"].localCheckpoint(eager=True),
+            pop_log_df=plog.load_upto(wave),
+            next_seq=scalars["next_seq"], last_pops=scalars["last_pops"],
+            lineage=scalars["lineage"],
+        )
+        return self._run_from(st, plog, max_pops)
+
+    def _run_from(self, st: HaircutWaveState, plog: PopLog,
+                  max_pops: int | None = None) -> HaircutWaveState:
+        pop_order = [F.desc("weight"), F.asc("fk")]
+        seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
         while True:
             wave = st.wave + 1
             # eligibility follows VecHaircut.pop exactly: weight ≥
@@ -139,10 +173,14 @@ class HaircutWaveEngine:
             n_pops = popped.count()
             if n_pops == 0:
                 break
-            popped.select(
-                "seq", "node", "weight", F.lit(wave).cast("long").alias("wave")
-            ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
-            wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
+            # fast path: popped is already localCheckpoint-resident —
+            # append it to the log with no per-wave disk round-trip
+            # (PopLog mirrors to durable parquet when checkpointing)
+            pop_log_df = plog.append(
+                popped.select("seq", "node", "weight",
+                              F.lit(wave).cast("long").alias("wave")),
+                wave,
+            )
 
             # push: broadcast the ≤k popped rows into the out-edge view;
             # A1 out-sum per parent as a window over the (small) joined
@@ -199,10 +237,15 @@ class HaircutWaveEngine:
             st = HaircutWaveState(
                 wave=wave,
                 node_state=new_state,
-                pop_log_df=st.pop_log_df.unionByName(wave_pops),
+                pop_log_df=pop_log_df,
                 next_seq=st.next_seq + n_pops,
                 last_pops=n_pops,
                 lineage=st.lineage,
             )
             st.lineage.append({"wave": wave, "pops": n_pops, "next_seq": st.next_seq})
+            if self._ckpt is not None:
+                self._ckpt.save(wave, {"node_state": new_state}, {
+                    "next_seq": st.next_seq, "last_pops": n_pops,
+                    "lineage": st.lineage,
+                })
         return st

@@ -33,13 +33,13 @@ cluster). State is localCheckpoint'ed per wave; ``checkpoint_dir``
 
 from __future__ import annotations
 
-import os
 import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from blockchainspider_spark.engine.wave_common import PopLog, WaveCheckpoint
 from blockchainspider_spark.operators.transfers import with_symbol_identity
 
 REDIRECT_CHIPS_SCHEMA = "node string, symbol string, ts long, val double"
@@ -141,11 +141,13 @@ class TtrRedirectWaveEngine:
         beta: float = 0.8,
         epsilon: float = 1e-3,
         work_dir: str | None = None,
+        checkpoint_dir: str | None = None,
     ):
         self.spark = spark
         self.k = int(k)
         self.alpha, self.beta, self.epsilon = float(alpha), float(beta), float(epsilon)
         self._work_dir = work_dir or tempfile.mkdtemp(prefix="redirectwave-")
+        self._ckpt = WaveCheckpoint(spark, checkpoint_dir) if checkpoint_dir else None
         adapted = with_symbol_identity(edges).select(
             F.col("id"),
             F.col("hash"),
@@ -164,8 +166,13 @@ class TtrRedirectWaveEngine:
             "id", "hash", "from", "to", "value", "ts", "symbol", "_bn",
         ).persist()
 
-    def _pop_wave_dir(self, wave: int) -> str:
-        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+    POP_LOG_SCHEMA = "seq long, node string, residual double, wave long"
+
+    def _pop_log(self) -> PopLog:
+        return PopLog(
+            self.spark, self.POP_LOG_SCHEMA, self._work_dir,
+            durable_dir=self._ckpt.pop_log_dir() if self._ckpt else None,
+        )
 
     def _seed_chips(self, source: str, wave: int) -> tuple[DataFrame, int]:
         """The reference's one-time seed as DataFrame aggregations (A9):
@@ -228,6 +235,7 @@ class TtrRedirectWaveEngine:
 
     def run(self, source: str, max_pops: int | None = None) -> TtrRedirectWaveState:
         spark = self.spark
+        plog = self._pop_log()
         st = TtrRedirectWaveState(
             wave=0,
             # scaffold unit chip so wave 1 pops the source (consumed at seed)
@@ -235,11 +243,31 @@ class TtrRedirectWaveEngine:
             .localCheckpoint(eager=True),
             meta=spark.createDataFrame([(source, 0.0, (0, -1, -1))], REDIRECT_META_SCHEMA)
             .localCheckpoint(eager=True),
-            pop_log_df=spark.createDataFrame(
-                [], "seq long, node string, residual double, wave long"),
+            pop_log_df=plog.df,
             next_seq=0,
         )
-        seeded = False
+        return self._run_from(st, plog, source, seeded=False, max_pops=max_pops)
+
+    def resume(self, source: str, max_pops: int | None = None) -> TtrRedirectWaveState:
+        if self._ckpt is None:
+            raise ValueError("resume() requires checkpoint_dir")
+        wave = self._ckpt.latest_wave()
+        if wave is None:
+            raise FileNotFoundError(f"no wave snapshot under {self._ckpt.dir}")
+        tables, scalars = self._ckpt.load(wave, ["chips", "meta"])
+        plog = self._pop_log()
+        st = TtrRedirectWaveState(
+            wave=wave,
+            chips=tables["chips"].localCheckpoint(eager=True),
+            meta=tables["meta"].localCheckpoint(eager=True),
+            pop_log_df=plog.load_upto(wave),
+            next_seq=scalars["next_seq"], lineage=scalars["lineage"],
+        )
+        return self._run_from(st, plog, source,
+                              seeded=scalars["seeded"], max_pops=max_pops)
+
+    def _run_from(self, st: TtrRedirectWaveState, plog: PopLog, source: str,
+                  seeded: bool, max_pops: int | None = None) -> TtrRedirectWaveState:
         pop_order = [F.desc("r"), F.asc("fk")]
         seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
         kernel = _push_kernel(self.alpha, self.beta, self.epsilon)
@@ -263,10 +291,11 @@ class TtrRedirectWaveEngine:
             n_pops = popped.count()
             if n_pops == 0:
                 break
-            popped.select(
-                "seq", "node", "residual", F.lit(wave).cast("long").alias("wave")
-            ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
-            wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
+            pop_log_df = plog.append(
+                popped.select("seq", "node", "residual",
+                              F.lit(wave).cast("long").alias("wave")),
+                wave,
+            )
 
             if not seeded:
                 seeded = True
@@ -362,9 +391,14 @@ class TtrRedirectWaveEngine:
                 wave=wave,
                 chips=new_chips,
                 meta=new_meta,
-                pop_log_df=st.pop_log_df.unionByName(wave_pops),
+                pop_log_df=pop_log_df,
                 next_seq=st.next_seq + n_pops,
                 lineage=st.lineage,
             )
             st.lineage.append({"wave": wave, "pops": n_pops, "next_seq": st.next_seq})
+            if self._ckpt is not None:
+                self._ckpt.save(wave, {"chips": new_chips, "meta": new_meta}, {
+                    "next_seq": st.next_seq, "lineage": st.lineage,
+                    "seeded": seeded,
+                })
         return st

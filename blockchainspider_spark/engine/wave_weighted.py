@@ -22,14 +22,16 @@ executor loss)."""
 
 from __future__ import annotations
 
-import os
 import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from blockchainspider_spark.engine.wave_common import PopLog, WaveCheckpoint
 from blockchainspider_spark.operators.transfers import with_symbol_identity
+
+POP_LOG_SCHEMA = "seq long, node string, residual double, wave long"
 
 TTR_STATE_SCHEMA = (
     "node string, r double, p double, fk struct<wave:long,pseq:long,slot:long>"
@@ -69,12 +71,14 @@ class TtrWaveEngine:
         beta: float = 0.8,
         epsilon: float = 1e-3,
         work_dir: str | None = None,
+        checkpoint_dir: str | None = None,
     ):
         self.spark = spark
         self.weighted = bool(weighted)
         self.k = int(k)
         self.alpha, self.beta, self.epsilon = float(alpha), float(beta), float(epsilon)
         self._work_dir = work_dir or tempfile.mkdtemp(prefix="ttrwave-")
+        self._ckpt = WaveCheckpoint(spark, checkpoint_dir) if checkpoint_dir else None
         adapted = with_symbol_identity(edges).select(
             F.col("address_from").alias("from"),
             F.col("address_to").alias("to"),
@@ -102,8 +106,11 @@ class TtrWaveEngine:
             F.count("*").cast("long").alias("n_out")
         ).persist()
 
-    def _pop_wave_dir(self, wave: int) -> str:
-        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+    def _pop_log(self) -> PopLog:
+        return PopLog(
+            self.spark, POP_LOG_SCHEMA, self._work_dir,
+            durable_dir=self._ckpt.pop_log_dir() if self._ckpt else None,
+        )
 
     def _direction_deltas(self, popped: DataFrame, wave: int, forward: bool) -> DataFrame:
         """Scatter contributions of one push direction as delta rows
@@ -142,18 +149,34 @@ class TtrWaveEngine:
         return deltas
 
     def run(self, source: str, max_pops: int | None = None) -> TtrWaveState:
-        spark = self.spark
-        state_df = spark.createDataFrame(
+        state_df = self.spark.createDataFrame(
             [(source, 1.0, 0.0, (0, -1, -1))], TTR_STATE_SCHEMA
         ).localCheckpoint(eager=True)
+        plog = self._pop_log()
+        st = TtrWaveState(wave=0, node_state=state_df, pop_log_df=plog.df, next_seq=0)
+        return self._run_from(st, plog, max_pops)
+
+    def resume(self, max_pops: int | None = None) -> TtrWaveState:
+        if self._ckpt is None:
+            raise ValueError("resume() requires checkpoint_dir")
+        wave = self._ckpt.latest_wave()
+        if wave is None:
+            raise FileNotFoundError(f"no wave snapshot under {self._ckpt.dir}")
+        tables, scalars = self._ckpt.load(wave, ["node_state"])
+        plog = self._pop_log()
+        st = TtrWaveState(
+            wave=wave,
+            node_state=tables["node_state"].localCheckpoint(eager=True),
+            pop_log_df=plog.load_upto(wave),
+            next_seq=scalars["next_seq"], lineage=scalars["lineage"],
+        )
+        return self._run_from(st, plog, max_pops)
+
+    def _run_from(self, st: TtrWaveState, plog: PopLog,
+                  max_pops: int | None = None) -> TtrWaveState:
+        spark = self.spark
         pop_order = [F.desc("r"), F.asc("fk")]
         seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
-        st = TtrWaveState(
-            wave=0, node_state=state_df,
-            pop_log_df=spark.createDataFrame(
-                [], "seq long, node string, residual double, wave long"),
-            next_seq=0,
-        )
         while True:
             wave = st.wave + 1
             budget = self.k
@@ -185,10 +208,11 @@ class TtrWaveEngine:
             n_pops = popped.count()
             if n_pops == 0:
                 break
-            popped.select(
-                "seq", "node", "residual", F.lit(wave).cast("long").alias("wave")
-            ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
-            wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
+            pop_log_df = plog.append(
+                popped.select("seq", "node", "residual",
+                              F.lit(wave).cast("long").alias("wave")),
+                wave,
+            )
 
             # base rows: r zeroed for pops (before scatter, so self-loops
             # re-credit), p bumped by α·r
@@ -214,11 +238,14 @@ class TtrWaveEngine:
             st = TtrWaveState(
                 wave=wave,
                 node_state=new_state,
-                pop_log_df=st.pop_log_df.unionByName(wave_pops),
+                pop_log_df=pop_log_df,
                 next_seq=st.next_seq + n_pops,
                 lineage=st.lineage,
             )
             st.lineage.append({"wave": wave, "pops": n_pops, "next_seq": st.next_seq})
+            if self._ckpt is not None:
+                self._ckpt.save(wave, {"node_state": new_state},
+                                {"next_seq": st.next_seq, "lineage": st.lineage})
         return st
 
 
@@ -276,6 +303,7 @@ class ApprWaveEngine:
         max_drain_iters: int = 200,
         broadcast_threshold: int = 1_000_000,
         work_dir: str | None = None,
+        checkpoint_dir: str | None = None,
     ):
         self.spark = spark
         self.k = int(k)
@@ -283,6 +311,7 @@ class ApprWaveEngine:
         self.max_drain_iters = int(max_drain_iters)
         self.broadcast_threshold = int(broadcast_threshold)
         self._work_dir = work_dir or tempfile.mkdtemp(prefix="apprwave-")
+        self._ckpt = WaveCheckpoint(spark, checkpoint_dir) if checkpoint_dir else None
         adapted = with_symbol_identity(edges).select(
             F.col("address_from").alias("from"),
             F.col("address_to").alias("to"),
@@ -317,8 +346,11 @@ class ApprWaveEngine:
             F.count("*").over(Window.partitionBy("node")).cast("long").alias("deg"),
         ).persist()
 
-    def _pop_wave_dir(self, wave: int) -> str:
-        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+    def _pop_log(self) -> PopLog:
+        return PopLog(
+            self.spark, POP_LOG_SCHEMA, self._work_dir,
+            durable_dir=self._ckpt.pop_log_dir() if self._ckpt else None,
+        )
 
     def _drain_once(self, state: DataFrame, wave: int) -> tuple[DataFrame, int]:
         """One Jacobi drain iteration: every crawled node with r > ε
@@ -381,18 +413,33 @@ class ApprWaveEngine:
         return new_state, n
 
     def run(self, source: str, max_pops: int | None = None) -> ApprWaveState:
-        spark = self.spark
-        state_df = spark.createDataFrame(
+        state_df = self.spark.createDataFrame(
             [(source, 1.0, 0.0, (0, -1, -1), False, False)], APPR_STATE_SCHEMA
         ).localCheckpoint(eager=True)
+        plog = self._pop_log()
+        st = ApprWaveState(wave=0, node_state=state_df, pop_log_df=plog.df, next_seq=0)
+        return self._run_from(st, plog, max_pops)
+
+    def resume(self, max_pops: int | None = None) -> ApprWaveState:
+        if self._ckpt is None:
+            raise ValueError("resume() requires checkpoint_dir")
+        wave = self._ckpt.latest_wave()
+        if wave is None:
+            raise FileNotFoundError(f"no wave snapshot under {self._ckpt.dir}")
+        tables, scalars = self._ckpt.load(wave, ["node_state"])
+        plog = self._pop_log()
+        st = ApprWaveState(
+            wave=wave,
+            node_state=tables["node_state"].localCheckpoint(eager=True),
+            pop_log_df=plog.load_upto(wave),
+            next_seq=scalars["next_seq"], lineage=scalars["lineage"],
+        )
+        return self._run_from(st, plog, max_pops)
+
+    def _run_from(self, st: ApprWaveState, plog: PopLog,
+                  max_pops: int | None = None) -> ApprWaveState:
         pop_order = [F.desc("r"), F.asc("fk")]
         seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
-        st = ApprWaveState(
-            wave=0, node_state=state_df,
-            pop_log_df=spark.createDataFrame(
-                [], "seq long, node string, residual double, wave long"),
-            next_seq=0,
-        )
         while True:
             wave = st.wave + 1
             # drain: crawled residual mass flows until every crawled node
@@ -430,10 +477,11 @@ class ApprWaveEngine:
             if n_pops == 0:
                 st = ApprWaveState(wave, state, st.pop_log_df, st.next_seq, st.lineage)
                 break
-            popped.select(
-                "seq", "node", "residual", F.lit(wave).cast("long").alias("wave")
-            ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
-            wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
+            pop_log_df = plog.append(
+                popped.select("seq", "node", "residual",
+                              F.lit(wave).cast("long").alias("wave")),
+                wave,
+            )
             # mark crawled; carry the pop seq into fk.pseq so later drain
             # scatters from this node order by its pop sequence. A popped
             # node with zero distinct neighbors gets its push applied
@@ -474,12 +522,15 @@ class ApprWaveEngine:
             st = ApprWaveState(
                 wave=wave,
                 node_state=new_state,
-                pop_log_df=st.pop_log_df.unionByName(wave_pops),
+                pop_log_df=pop_log_df,
                 next_seq=st.next_seq + n_pops,
                 lineage=st.lineage,
             )
             st.lineage.append({"wave": wave, "pops": n_pops,
                                "drain_iters": iters, "next_seq": st.next_seq})
+            if self._ckpt is not None:
+                self._ckpt.save(wave, {"node_state": new_state},
+                                {"next_seq": st.next_seq, "lineage": st.lineage})
         return st
 
 
@@ -542,11 +593,13 @@ class TtrTimeWaveEngine:
         beta: float = 0.8,
         epsilon: float = 1e-3,
         work_dir: str | None = None,
+        checkpoint_dir: str | None = None,
     ):
         self.spark = spark
         self.k = int(k)
         self.alpha, self.beta, self.epsilon = float(alpha), float(beta), float(epsilon)
         self._work_dir = work_dir or tempfile.mkdtemp(prefix="ttrtimewave-")
+        self._ckpt = WaveCheckpoint(spark, checkpoint_dir) if checkpoint_dir else None
         adapted = with_symbol_identity(edges).select(
             F.col("address_from").alias("from"),
             F.col("address_to").alias("to"),
@@ -564,8 +617,11 @@ class TtrTimeWaveEngine:
             "value", "ts", "_bn", "id",
         ).persist()
 
-    def _pop_wave_dir(self, wave: int) -> str:
-        return os.path.join(self._work_dir, "pop_log", f"wave={wave:05d}")
+    def _pop_log(self) -> PopLog:
+        return PopLog(
+            self.spark, POP_LOG_SCHEMA, self._work_dir,
+            durable_dir=self._ckpt.pop_log_dir() if self._ckpt else None,
+        )
 
     def _seed(self, source: str, wave: int):
         """The reference's one-time seed (strategies_vec._seed): per-edge
@@ -708,11 +764,34 @@ class TtrTimeWaveEngine:
             .localCheckpoint(eager=True),
             meta=spark.createDataFrame([(source, 0.0, (0, -1, -1))], TTRTIME_META_SCHEMA)
             .localCheckpoint(eager=True),
-            pop_log_df=spark.createDataFrame(
-                [], "seq long, node string, residual double, wave long"),
+            pop_log_df=None,
             next_seq=0,
         )
-        seeded = False
+        plog = self._pop_log()
+        st.pop_log_df = plog.df
+        return self._run_from(st, plog, source, seeded=False, max_pops=max_pops)
+
+    def resume(self, source: str, max_pops: int | None = None) -> TtrTimeWaveState:
+        if self._ckpt is None:
+            raise ValueError("resume() requires checkpoint_dir")
+        wave = self._ckpt.latest_wave()
+        if wave is None:
+            raise FileNotFoundError(f"no wave snapshot under {self._ckpt.dir}")
+        tables, scalars = self._ckpt.load(wave, ["chips", "meta"])
+        plog = self._pop_log()
+        st = TtrTimeWaveState(
+            wave=wave,
+            chips=tables["chips"].localCheckpoint(eager=True),
+            meta=tables["meta"].localCheckpoint(eager=True),
+            pop_log_df=plog.load_upto(wave),
+            next_seq=scalars["next_seq"], lineage=scalars["lineage"],
+        )
+        return self._run_from(st, plog, source,
+                              seeded=scalars["seeded"], max_pops=max_pops)
+
+    def _run_from(self, st: TtrTimeWaveState, plog: PopLog, source: str,
+                  seeded: bool, max_pops: int | None = None) -> TtrTimeWaveState:
+        spark = self.spark
         pop_order = [F.desc("r"), F.asc("fk")]
         seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
         while True:
@@ -735,10 +814,11 @@ class TtrTimeWaveEngine:
             n_pops = popped.count()
             if n_pops == 0:
                 break
-            popped.select(
-                "seq", "node", "residual", F.lit(wave).cast("long").alias("wave")
-            ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
-            wave_pops = spark.read.parquet(self._pop_wave_dir(wave))
+            pop_log_df = plog.append(
+                popped.select("seq", "node", "residual",
+                              F.lit(wave).cast("long").alias("wave")),
+                wave,
+            )
 
             if not seeded:
                 # wave 1 pops the source: the first push only SEEDS
@@ -808,9 +888,14 @@ class TtrTimeWaveEngine:
                 wave=wave,
                 chips=new_chips,
                 meta=new_meta,
-                pop_log_df=st.pop_log_df.unionByName(wave_pops),
+                pop_log_df=pop_log_df,
                 next_seq=st.next_seq + n_pops,
                 lineage=st.lineage,
             )
             st.lineage.append({"wave": wave, "pops": n_pops, "next_seq": st.next_seq})
+            if self._ckpt is not None:
+                self._ckpt.save(wave, {"chips": new_chips, "meta": new_meta}, {
+                    "next_seq": st.next_seq, "lineage": st.lineage,
+                    "seeded": seeded,
+                })
         return st

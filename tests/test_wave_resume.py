@@ -1,0 +1,116 @@
+"""Durable checkpoint/resume for the weighted wave engines + the fast
+pop-log path (wave_common.PopLog / WaveCheckpoint).
+
+Contract mirrors test_resume_bloom: interrupt a crawl after wave m
+(max_pops cut), build a FRESH engine over the same checkpoint_dir,
+``resume()`` — the continued crawl's pop log must equal an
+uninterrupted run's exactly, and the final state must agree (weights
+to float-reassociation tolerance; visited/fetched flags exactly)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchainspider_spark.engine.wave_common import PopLog
+from blockchainspider_spark.engine.wave_haircut import HaircutWaveEngine
+from blockchainspider_spark.engine.wave_redirect import TtrRedirectWaveEngine
+from blockchainspider_spark.engine.wave_weighted import ApprWaveEngine, TtrWaveEngine
+
+
+def test_poplog_compaction_bounds_plan(spark, tmp_path):
+    """Appends stay disk-free until compact_every, then ONE parquet
+    rewrite resets the union chain."""
+    import os
+
+    plog = PopLog(spark, "seq long, node string", str(tmp_path), compact_every=3)
+    for i in range(5):
+        wave_pops = spark.createDataFrame([(i, f"n{i}")], "seq long, node string") \
+            .localCheckpoint(eager=True)
+        plog.append(wave_pops, i + 1)
+    compact = os.path.join(str(tmp_path), "pop_log_compact")
+    assert os.path.exists(compact)          # compacted once at append 3
+    assert not os.path.exists(os.path.join(str(tmp_path), "pop_log"))  # no per-wave dirs
+    got = sorted((r.seq, r.node) for r in plog.df.collect())
+    assert got == [(i, f"n{i}") for i in range(5)]
+
+
+def test_haircut_resume_equals_uninterrupted(spark, edges_df, source, tmp_path):
+    """max_pops cuts must land on a WAVE boundary for the resumed crawl
+    to equal the uninterrupted one: with k=2 the waves pop seqs
+    (0),(1,2),(3,4),(5,6)…, so cutting at 7 preserves the batch
+    boundaries while cutting at 6 would split a wave (both halves then
+    read different pre-wave states — the documented k>1 semantics, not
+    a resume defect)."""
+    full = HaircutWaveEngine(spark, edges_df, k=2).run(source, max_pops=11)
+    ck = str(tmp_path / "hc")
+    HaircutWaveEngine(spark, edges_df, k=2, checkpoint_dir=ck).run(source, max_pops=7)
+    resumed = HaircutWaveEngine(spark, edges_df, k=2, checkpoint_dir=ck).resume(
+        max_pops=11)
+    assert resumed.pop_log == full.pop_log
+    got = {(r.seq, r.node): r.weight for r in resumed.pop_log_df.collect()}
+    want = {(r.seq, r.node): r.weight for r in full.pop_log_df.collect()}
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, k
+    # final state agrees: visited flags exact, weights tolerance-equal
+    sf = {r.node: (r.visited, r.weight) for r in full.node_state.collect()}
+    sr = {r.node: (r.visited, r.weight) for r in resumed.node_state.collect()}
+    assert sf.keys() == sr.keys()
+    for n, (vis, w) in sf.items():
+        assert sr[n][0] == vis and abs(sr[n][1] - w) < 1e-12, n
+
+
+def test_appr_resume_equals_uninterrupted(spark, edges_df, source, tmp_path):
+    eps = 1e-2
+    full = ApprWaveEngine(spark, edges_df, epsilon=eps).run(source, max_pops=10)
+    ck = str(tmp_path / "appr")
+    ApprWaveEngine(spark, edges_df, epsilon=eps, checkpoint_dir=ck).run(
+        source, max_pops=5)
+    resumed = ApprWaveEngine(spark, edges_df, epsilon=eps,
+                             checkpoint_dir=ck).resume(max_pops=10)
+    assert resumed.pop_log == full.pop_log
+    rf = {r.node: r.fetched for r in full.node_state.collect()}
+    rr = {r.node: r.fetched for r in resumed.node_state.collect()}
+    assert rf == rr
+    # mass conservation still holds across the resume boundary
+    row = resumed.node_state.agg(F.sum("r").alias("r"), F.sum("p").alias("p")).collect()[0]
+    assert abs((row.r + row.p) - 1.0) < 1e-9
+
+
+def test_ttr_resume_equals_uninterrupted(spark, edges_df, source, tmp_path):
+    eps = 5e-2
+    full = TtrWaveEngine(spark, edges_df, epsilon=eps).run(source, max_pops=8)
+    ck = str(tmp_path / "ttr")
+    TtrWaveEngine(spark, edges_df, epsilon=eps, checkpoint_dir=ck).run(
+        source, max_pops=4)
+    resumed = TtrWaveEngine(spark, edges_df, epsilon=eps,
+                            checkpoint_dir=ck).resume(max_pops=8)
+    assert resumed.pop_log == full.pop_log
+    pf, pr = full.ranks(), resumed.ranks()
+    assert set(pf) == set(pr)
+    for n, v in pf.items():
+        assert abs(pr[n] - v) < 1e-12, n
+
+
+def test_redirect_resume_restores_seeded_flag(spark, edges_df, source, tmp_path):
+    """Interrupting right after the seed wave must not re-seed on
+    resume — the `seeded` scalar travels in meta.json."""
+    eps = 5e-3
+    full = TtrRedirectWaveEngine(spark, edges_df, epsilon=eps).run(
+        source, max_pops=6)
+    ck = str(tmp_path / "rd")
+    TtrRedirectWaveEngine(spark, edges_df, epsilon=eps, checkpoint_dir=ck).run(
+        source, max_pops=1)     # stop right after the seed wave
+    resumed = TtrRedirectWaveEngine(
+        spark, edges_df, epsilon=eps, checkpoint_dir=ck
+    ).resume(source, max_pops=6)
+    assert resumed.pop_log == full.pop_log
+    cf = {(r.node, r.symbol, r.ts): r.val for r in full.chips.collect()}
+    cr = {(r.node, r.symbol, r.ts): r.val for r in resumed.chips.collect()}
+    assert cf.keys() == cr.keys()
+    for k, v in cf.items():
+        assert abs(cr[k] - v) < 1e-12, k
+
+
+def test_resume_without_checkpoint_raises(spark, edges_df):
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        HaircutWaveEngine(spark, edges_df).resume()

@@ -101,41 +101,40 @@ def main():
     elif args.wave_k is not None:
         # wave-batched weighted crawl: weights/residuals DataFrame-resident,
         # k pops per Spark wave
+        kw = {"k": args.wave_k, "checkpoint_dir": args.checkpoint}
+        eps = {"epsilon": args.epsilon} if args.epsilon else {}
         if args.strategy == "Haircut":
             from blockchainspider_spark.engine.wave_haircut import HaircutWaveEngine
 
-            engine = HaircutWaveEngine(spark, edges, k=args.wave_k)
+            engine = HaircutWaveEngine(spark, edges, **kw)
         elif args.strategy in ("TTRBase", "TTRWeight"):
             from blockchainspider_spark.engine.wave_weighted import TtrWaveEngine
 
             engine = TtrWaveEngine(
-                spark, edges, weighted=args.strategy == "TTRWeight",
-                k=args.wave_k, **({"epsilon": args.epsilon} if args.epsilon else {}),
-            )
+                spark, edges, weighted=args.strategy == "TTRWeight", **kw, **eps)
         elif args.strategy == "APPR":
             from blockchainspider_spark.engine.wave_weighted import ApprWaveEngine
 
-            engine = ApprWaveEngine(
-                spark, edges, k=args.wave_k,
-                **({"epsilon": args.epsilon} if args.epsilon else {}),
-            )
+            engine = ApprWaveEngine(spark, edges, **kw, **eps)
         elif args.strategy == "TTRTime":
             from blockchainspider_spark.engine.wave_weighted import TtrTimeWaveEngine
 
-            engine = TtrTimeWaveEngine(
-                spark, edges, k=args.wave_k,
-                **({"epsilon": args.epsilon} if args.epsilon else {}),
-            )
+            engine = TtrTimeWaveEngine(spark, edges, **kw, **eps)
         elif args.strategy == "TTRRedirect":
             from blockchainspider_spark.engine.wave_redirect import TtrRedirectWaveEngine
 
-            engine = TtrRedirectWaveEngine(
-                spark, edges, k=args.wave_k,
-                **({"epsilon": args.epsilon} if args.epsilon else {}),
-            )
+            engine = TtrRedirectWaveEngine(spark, edges, **kw, **eps)
         else:
             ap.error(f"no wave-batched form for strategy {args.strategy}")
-        state = engine.run(source, max_pops=10_000)
+        if args.resume_wave is not None:
+            # resume from the newest durable wave snapshot (requires
+            # --checkpoint from the interrupted run)
+            if args.strategy in ("TTRTime", "TTRRedirect"):
+                state = engine.resume(source, max_pops=10_000)
+            else:
+                state = engine.resume(max_pops=10_000)
+        else:
+            state = engine.run(source, max_pops=10_000)
         print(json.dumps({"pops": state.next_seq, "lineage": state.lineage}, default=str))
         if args.out:
             state.pop_log_df.write.mode("overwrite").parquet(
