@@ -982,6 +982,133 @@ def q_t3_stream_windowed_sql():
     """
 
 
+def q_mm_audio_features(spark, sf_dir):
+    """Multimodal audio features with a full SQL oracle: per doc build a
+    deterministic integer PCM pattern (sample i = ((i·2654435761) mod
+    65536) − 32768 — pure int64 arithmetic, so DuckDB re-derives every
+    sample exactly), run the REAL pipeline — stdlib-wave 16-bit PCM WAV
+    encode → binary column → mapInPandas decode → rate/channels/
+    duration/RMS/peak (operators/multimodal.decode_audio) — and let the
+    oracle recompute the statistics over the same integer series."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.operators.multimodal import decode_audio, wav_encode
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 12).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"audio_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 800 + did
+                i = np.arange(n, dtype=np.int64)
+                samples = ((i * 2654435761) % 65536 - 32768).astype(np.int16)
+                out["audio_id"].append(f"aud-{did}")
+                out["bytes"].append(wav_encode(samples, 8000))
+                out["fmt"].append("wav")
+            yield pd.DataFrame(out)
+
+    audio = d.mapInPandas(build, "audio_id string, bytes binary, fmt string")
+    feats = decode_audio(audio)
+    return feats.select(
+        "audio_id", "sample_rate", "n_channels", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+def q_mm_audio_features_sql():
+    return """
+    SELECT 'aud-' || CAST(doc_id AS VARCHAR) AS audio_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(800 + doc_id AS BIGINT) AS n_samples,
+           ROUND((800 + doc_id) / 8000.0, 6) AS duration_sec,
+           ROUND(sqrt(list_sum(list_transform(range(0, 800 + doc_id),
+                 i -> POW(((i * 2654435761) % 65536 - 32768) / 32768.0, 2)))
+                 / (800 + doc_id)), 6) AS rms,
+           ROUND(list_max(list_transform(range(0, 800 + doc_id),
+                 i -> ABS((i * 2654435761) % 65536 - 32768) / 32768.0)), 6) AS peak
+    FROM documents WHERE doc_id < 12
+    """
+
+
+def q_x4_dcfg_tracer_roundtrip(spark, sf_dir):
+    """X4 round trip: the embedded-JS DCFG tracer as a fetch-request
+    PARAMETER (request construction: gas>21000 filter → JSON-RPC POST
+    body with params=[tx, {tracer}]) plus the response flatten (blocks
+    array + edges resolved through element_at, opcode nums → mnemonics).
+    Canned tracer responses are derived closed-form from event_id, so
+    the oracle states the expected edge rows analytically while the
+    Spark side exercises the REAL body build → get_json_object read-back
+    → from_json → endpoint resolution path."""
+    from blockchainspider_spark.operators.dcfg import (
+        dcfg_trace_requests,
+        flatten_dcfg_edges,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events").where(F.col("event_id") < 30)
+        .select(F.col("event_id").cast("long").alias("i"))
+    )
+    txs = ev.select(
+        F.concat(F.lit("tx"), "i").alias("hash"),
+        (F.lit(21000) + (F.col("i") % 3) * 5000).cast("string").alias("gas"),
+    )
+    reqs = dcfg_trace_requests(txs)  # drops the i%3==0 rows (gas == 21000)
+    resp = ev.select(
+        F.concat(F.lit("tx"), "i").alias("transaction_hash"),
+        F.concat(
+            F.lit('{"blocks": [{"contract_address": "0xc'), F.col("i"),
+            F.lit('", "start_pc": 0, "operations": [96, 86, 9999]}, '
+                  '{"contract_address": "0xd'), F.col("i"),
+            F.lit('", "start_pc": '), F.col("i") % 7,
+            F.lit(', "operations": [91, 255]}], '
+                  '"edges": [{"from": 0, "to": 1, "type": 86, "value": "'),
+            F.col("i"),
+            F.lit('", "selector": "0xab", "index": 2}]}'),
+        ).alias("result_json"),
+    )
+    edges = flatten_dcfg_edges(resp)
+    return (
+        reqs.select(
+            "transaction_hash",
+            F.get_json_object("body", "$.method").alias("rpc_method"),
+            F.get_json_object("body", "$.params[1].tracer").isNotNull()
+            .cast("int").alias("has_tracer"),
+        )
+        .join(edges, on="transaction_hash", how="inner")
+        .select(
+            "transaction_hash", "rpc_method", "has_tracer",
+            "address_from", "start_pc_from", "address_to", "start_pc_to",
+            "flow_type", F.col("value").cast("long").alias("value"),
+            F.col("gas").cast("long").alias("gas"), "selector",
+            F.col("index").cast("int").alias("index"),
+        )
+    )
+
+
+def q_x4_dcfg_tracer_roundtrip_sql():
+    return """
+    SELECT 'tx' || CAST(event_id AS VARCHAR) AS transaction_hash,
+           'debug_traceTransaction' AS rpc_method,
+           1 AS has_tracer,
+           '0xc' || CAST(event_id AS VARCHAR) AS address_from,
+           CAST(0 AS BIGINT) AS start_pc_from,
+           '0xd' || CAST(event_id AS VARCHAR) AS address_to,
+           CAST(event_id % 7 AS BIGINT) AS start_pc_to,
+           'JUMP' AS flow_type,
+           CAST(event_id AS BIGINT) AS value,
+           CAST(-1 AS BIGINT) AS gas,
+           '0xab' AS selector,
+           CAST(2 AS INTEGER) AS index
+    FROM events WHERE event_id < 30 AND event_id % 3 <> 0
+    """
+
+
 def build_etl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

@@ -13,7 +13,9 @@ What's real vs stubbed in this container (no PIL/ffmpeg):
 * video frame-sample  — plumbing REAL over a synthetic container
                         (concatenated raw RGB frames, 'rawv' fmt);
                         real codecs gated behind NotImplementedError.
-* audio decode        — STUB: NotImplementedError (no decoder in env).
+* audio decode        — REAL for uncompressed WAV/PCM (stdlib `wave`:
+                        rate/channels/duration/RMS/peak); compressed
+                        codecs gated behind NotImplementedError.
 
 Partitioning: callers should repartition by a content-hash bucket before
 these kernels so payload bytes shuffle at most once; the kernels
@@ -137,8 +139,62 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
     return videos.select("video_id", "bytes").mapInPandas(kernel, FRAME_SCHEMA)
 
 
-def decode_audio(_audio: DataFrame) -> DataFrame:
-    """STUB: no audio decoder ships in this container. The Spark-side
-    contract (binary column in, (audio_id, sample_rate, n_samples,
-    pcm binary) out via mapInPandas) is fixed here for when one does."""
-    raise NotImplementedError("audio decoding requires a codec library not present")
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, sample_rate int, n_channels int, n_samples long, "
+    "duration_sec double, rms double, peak double"
+)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """16-bit little-endian PCM WAV via the stdlib ``wave`` module.
+    ``samples``: int16 array, shape (n,) mono or (n, channels)."""
+    import io
+    import wave as wavmod
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1 if samples.ndim == 1 else samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(audio: DataFrame) -> DataFrame:
+    """REAL for uncompressed WAV (fmt 'wav', 16-bit PCM) via the stdlib
+    ``wave`` module — sample rate, channel count, duration, full-signal
+    RMS and peak (samples normalized to [-1, 1) by /32768). Compressed
+    codecs (mp3/aac/…) stay gated behind NotImplementedError: no codec
+    library ships in this container, and a silent fake would corrupt a
+    training pipeline downstream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wavmod
+
+        for pdf in batches:
+            out = {k: [] for k in ("audio_id", "sample_rate", "n_channels",
+                                   "n_samples", "duration_sec", "rms", "peak")}
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "wav":
+                    raise NotImplementedError(
+                        f"audio fmt {r.fmt!r}: only uncompressed WAV/PCM decodes "
+                        "in this container (no codec library present)"
+                    )
+                with wavmod.open(io.BytesIO(bytes(r.bytes))) as w:
+                    if w.getsampwidth() != 2:
+                        raise NotImplementedError("only 16-bit PCM WAV is supported")
+                    sr, nch = w.getframerate(), w.getnchannels()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+                out["audio_id"].append(r.audio_id)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(n)
+                out["duration_sec"].append(n / sr)
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                out["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+            yield pd.DataFrame(out)
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

@@ -1,6 +1,7 @@
 """Multimodal binary-column plumbing: features, resize, frame sampling."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from blockchainspider_spark.functions.imagecodec import png_decode
@@ -36,6 +37,39 @@ def test_video_frame_sampling(spark):
     assert (png_decode(bytes(r0.bytes)) == frames[0]).all()
 
 
-def test_audio_stub_gated(spark):
-    with pytest.raises(NotImplementedError):
-        M.decode_audio(None)
+def test_decode_audio_wav_roundtrip(spark):
+    """Stdlib-wave encode → Spark decode: rate/channels/counts exact,
+    RMS/peak match an independent numpy computation; stereo interleave
+    flattens into the full-signal stats like the kernel documents."""
+    import numpy as np
+
+    from blockchainspider_spark.operators.multimodal import decode_audio, wav_encode
+
+    rng = np.random.default_rng(5)
+    mono = (rng.integers(-32768, 32768, 500)).astype(np.int16)
+    stereo = (rng.integers(-32768, 32768, (300, 2))).astype(np.int16)
+    pdf = pd.DataFrame({
+        "audio_id": ["m", "s"],
+        "bytes": [wav_encode(mono, 16000), wav_encode(stereo, 44100)],
+        "fmt": ["wav", "wav"],
+    })
+    out = {r.audio_id: r for r in decode_audio(spark.createDataFrame(pdf)).collect()}
+    assert out["m"].sample_rate == 16000 and out["m"].n_channels == 1
+    assert out["s"].sample_rate == 44100 and out["s"].n_channels == 2
+    assert out["m"].n_samples == 500 and out["s"].n_samples == 300
+    for key, arr in (("m", mono), ("s", stereo)):
+        x = arr.astype(np.float64).ravel() / 32768.0
+        assert abs(out[key].rms - np.sqrt((x * x).mean())) < 1e-12
+        assert abs(out[key].peak - np.abs(x).max()) < 1e-12
+    assert abs(out["s"].duration_sec - 300 / 44100) < 1e-12
+
+
+def test_decode_audio_compressed_fmt_gated(spark):
+    """Compressed formats must refuse loudly, not fake-decode."""
+    import pytest as _pytest
+
+    from blockchainspider_spark.operators.multimodal import decode_audio
+
+    pdf = pd.DataFrame({"audio_id": ["x"], "bytes": [b"\x00" * 16], "fmt": ["mp3"]})
+    with _pytest.raises(Exception, match="NotImplementedError|only uncompressed|codec"):
+        decode_audio(spark.createDataFrame(pdf)).collect()
