@@ -132,6 +132,44 @@ def haircut_bench(spark) -> tuple[float, int]:
     return wall, state.next_seq
 
 
+def redirect_bench(spark) -> tuple[float, int]:
+    """Wave-batched TTRRedirect (k pops/wave; per-pop applyInPandas
+    J8+A11 kernel) over the bipartite graph with synthetic per-edge
+    hashes/timestamps so the temporal chip flow and the swap walk do
+    real work; returns (wall_sec, n_pops)."""
+    from pyspark.sql import functions as F
+
+    from blockchainspider_spark.engine.wave_redirect import TtrRedirectWaveEngine
+    from blockchainspider_spark.entry_queries import _bipartite_edges
+
+    spark.catalog.clearCache()
+    bi = _bipartite_edges(spark, SF_DIR)
+    both = bi.unionByName(bi.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ts = F.pmod(F.xxhash64(F.concat_ws("_", "src", "dst")), F.lit(1_000_000))
+    edges = (
+        both.select(
+            F.sha1(F.concat_ws("_", "src", "dst")).alias("id"),
+            F.sha1(F.concat_ws("#", "src", "dst")).alias("hash"),
+            F.col("src").alias("address_from"),
+            F.col("dst").alias("address_to"),
+            F.lit("1").alias("value"), F.lit("").alias("token_id"),
+            ts.cast("long").alias("timestamp"),
+            (ts / 12).cast("long").alias("block_number"),
+            F.lit("0x" + "0" * 40).alias("contract_address"),
+            F.lit("native").alias("symbol"),
+        )
+        .dropDuplicates(["id"])
+    )
+    edges.persist().count()
+    engine = TtrRedirectWaveEngine(spark, edges, k=16, epsilon=1e-6)
+    engine._touch.count()  # materialize the endpoint-exploded view
+    t0 = time.monotonic()
+    state = engine.run("c1", max_pops=64)
+    wall = time.monotonic() - t0
+    edges.unpersist()
+    return wall, state.next_seq
+
+
 def main():
     from blockchainspider_spark.entry_dedup import build_dedup_suite
     from blockchainspider_spark.entry_queries import build_suite
@@ -175,6 +213,10 @@ def main():
     hc_wall, hc_pops = haircut_bench(spark)
     timings["crawl_haircut_wavebatched"] = round(hc_wall, 3)
     print(f"# haircut wave-batched: {hc_pops} pops in {hc_wall:.1f}s", file=sys.stderr)
+
+    rd_wall, rd_pops = redirect_bench(spark)
+    timings["crawl_redirect_wavebatched"] = round(rd_wall, 3)
+    print(f"# redirect wave-batched: {rd_pops} pops in {rd_wall:.1f}s", file=sys.stderr)
 
     # primary metric: steady-state frontier throughput (fetch+dedup+
     # schedule over a large synthetic frontier — the per-wave dataflow at
