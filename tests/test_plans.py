@@ -1,0 +1,13 @@
+"""Physical-plan regression hook: the full explain audit must stay green
+(tools/explain_audit.py doubles as this test's engine — 10 assertions on
+pushdown, broadcast, partial aggs, seq-assignment paths, top-k pops,
+redirect chip merge, and UDF-closure ANN signatures)."""
+
+from tools.explain_audit import audit
+
+
+def test_plan_audit_all_ok(spark):
+    results = audit(spark, "/root/testdata/sf0.001")
+    failed = [name for name, _, _, ok in results if not ok]
+    assert not failed, failed
+    assert len(results) == 10

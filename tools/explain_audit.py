@@ -95,6 +95,31 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
     ok = "TakeOrderedAndProject" in plan
     results.append(("wave-engine top-k pop (TakeOrderedAndProject, no global sort)",
                     plan, ["TakeOrderedAndProject"], ok))
+
+    # wave-TTRRedirect chip merge: one partial+final HashAggregate over
+    # the rest∪pushed union — no extra exchange beyond the merge itself —
+    # and the ANN signature path: plan contains the pandas-UDF eval, no
+    # hyperplane literals (plan size independent of embedding width)
+    from blockchainspider_spark.operators.dedup import ann_lsh_bucketed
+
+    chips = spark.createDataFrame(
+        [(f"n{i}", "TOK", i, 0.1) for i in range(100)],
+        "node string, symbol string, ts long, val double",
+    )
+    merged = chips.groupBy("node", "symbol", "ts").agg(F.sum("val").alias("val"))
+    check("redirect chip merge (partial+final HashAggregate)", merged,
+          ["HashAggregate", "Exchange"])
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    lsh = ann_lsh_bucketed(emb, n_queries=3, k=2, n_planes=4)
+    plan = plan_of(lsh)
+    ok = ("ArrowEvalPython" in plan or "BatchEvalPython" in plan) and \
+        plan.count("0.1234") == 0
+    results.append(("ann sign-LSH signature (Arrow pandas UDF, no plane literals)",
+                    plan, ["ArrowEvalPython"], ok))
     return results
 
 
