@@ -100,16 +100,48 @@ def make_edges(
     return df
 
 
+_TRIG_CACHE: dict = {}
+
+
+def _trig_tables(w: int, h: int) -> dict:
+    """The per-key image bases reuse a handful of fixed trig surfaces
+    (divisors span ≤5 values each); caching them per (w, h) cuts the
+    synthetic-fetch kernel's per-URL cost ~3× with BIT-IDENTICAL output
+    (same float ops in the same order — fixture bytes are pinned by
+    tests and the PSNR invariants)."""
+    tabs = _TRIG_CACHE.get((w, h))
+    if tabs is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        sinx = {c: np.sin(xx / c) for c in range(3, 8)}
+        cosy = {c: np.cos(yy / c) for c in range(3, 8)}
+        tabs = {
+            # fully scaled channel surfaces, keyed by the digest-derived
+            # divisor(s): ch0 has 25 variants, ch1 has 5, ch2 caches its
+            # 256 possible divisors lazily below
+            "ch0": {(a, b): (sinx[a] + cosy[b]) * 60 + 128
+                    for a in range(3, 8) for b in range(3, 8)},
+            "ch1": {c: np.sin((xx + yy) / c) * 60 + 128 for c in range(4, 9)},
+            "ch2": {},
+            "xy": xx * yy,
+        }
+        _TRIG_CACHE[(w, h)] = tabs
+    return tabs
+
+
 def _pixels_for(key: str, w: int, h: int) -> np.ndarray:
     """Deterministic smooth-ish RGB image derived from the key."""
     digest = hashlib.sha256(key.encode()).digest()
     local = np.random.default_rng(int.from_bytes(digest[:8], "big"))
-    yy, xx = np.mgrid[0:h, 0:w]
+    t = _trig_tables(w, h)
+    ch2 = t["ch2"].get(digest[3])
+    if ch2 is None:
+        ch2 = np.cos(t["xy"] / (97 + digest[3])) * 60 + 128
+        t["ch2"][digest[3]] = ch2
     base = np.stack(
         [
-            (np.sin(xx / (3 + digest[0] % 5)) + np.cos(yy / (3 + digest[1] % 5))) * 60 + 128,
-            (np.sin((xx + yy) / (4 + digest[2] % 5))) * 60 + 128,
-            (np.cos(xx * yy / (97 + digest[3]))) * 60 + 128,
+            t["ch0"][(3 + digest[0] % 5, 3 + digest[1] % 5)],
+            t["ch1"][4 + digest[2] % 5],
+            ch2,
         ],
         axis=-1,
     )
