@@ -113,7 +113,12 @@ def png_decode(data: bytes) -> np.ndarray:
 def qjpeg_encode(pixels: np.ndarray, step: int = 2) -> bytes:
     """Synthetic lossy codec: quantize channel values to ``step`` + zlib."""
     h, w, _ = pixels.shape
-    q = (pixels.astype(np.int32) // step * step + step // 2).clip(0, 255).astype(np.uint8)
+    if step == 2 and pixels.dtype == np.uint8:
+        # (p & ~1) | 1 == p//2*2 + 1 for uint8 — same quantization, no
+        # int32 round trip (the fetch kernel's hot default)
+        q = (pixels & np.uint8(0xFE)) | np.uint8(1)
+    else:
+        q = (pixels.astype(np.int32) // step * step + step // 2).clip(0, 255).astype(np.uint8)
     header = _QJPEG_MAGIC + struct.pack(">HHB", w, h, step)
     return header + zlib.compress(q.tobytes(), 6)
 
@@ -152,6 +157,7 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 _DCT32 = _dct_matrix(32)
 _GRAY_W = np.array([0.299, 0.587, 0.114])
+_PHASH_MESH: dict = {}  # (h, w) → np.ix_ open mesh for the 32×32 resample
 
 
 def phash64(pixels: np.ndarray) -> int:
@@ -162,9 +168,13 @@ def phash64(pixels: np.ndarray) -> int:
     """
     gray = pixels.astype(np.float64) @ _GRAY_W
     h, w = gray.shape
-    ys = (np.arange(32) * h // 32).clip(0, h - 1)
-    xs = (np.arange(32) * w // 32).clip(0, w - 1)
-    small = gray[np.ix_(ys, xs)]
+    mesh = _PHASH_MESH.get((h, w))
+    if mesh is None:
+        ys = (np.arange(32) * h // 32).clip(0, h - 1)
+        xs = (np.arange(32) * w // 32).clip(0, w - 1)
+        mesh = np.ix_(ys, xs)
+        _PHASH_MESH[(h, w)] = mesh
+    small = gray[mesh]
     freq = _DCT32 @ small @ _DCT32.T
     block = freq[:8, :8].ravel()[1:]
     # median of 63 = the 31st order statistic (odd length) — one
