@@ -72,3 +72,48 @@ def test_batched_k3_terminates_and_is_dense(spark, edges_df, source):
         .where(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_k1_parity_on_adversarial_graph(spark):
+    """Quirk-heavy graph: self-loops on the source (in_sum QUIRK),
+    zero-value edges (skipped by seed scatter and netting), multi-leg
+    swaps sharing a hash (J8 move-to-end + sign-flip-ts), a sink with no
+    out-edges, and two symbols — wave k=1 must still replay the
+    sequential engine exactly."""
+    import hashlib
+
+    import pandas as pd
+
+    def edge(i, frm, to, value, ts, hsh, sym):
+        return {
+            "id": "0x" + hashlib.sha1(f"adv-{i}".encode()).hexdigest(),
+            "hash": hsh, "address_from": frm, "address_to": to,
+            "value": f"{value:.6f}", "token_id": "",
+            "timestamp": ts, "block_number": 100 + i,
+            "contract_address": "0x" + "0" * 40, "symbol": sym,
+            "decimals": 18, "gas": "0", "gas_price": "0",
+        }
+
+    A, B, C, D = ("0x" + c * 40 for c in "abcd")
+    rows = [
+        edge(0, A, A, 3.0, 100, "h0", "native"),    # source self-loop
+        edge(1, A, B, 2.0, 110, "h1", "native"),
+        edge(2, B, A, 1.5, 115, "h1", "TOK1"),      # multi-leg swap with 1
+        edge(3, A, C, 0.0, 120, "h2", "native"),    # zero-value edge
+        edge(4, B, C, 2.5, 130, "h3", "TOK1"),
+        edge(5, C, B, 2.5, 135, "h3", "native"),    # netting pair
+        edge(6, B, D, 1.0, 140, "h4", "native"),    # D is a pure sink
+        edge(7, C, A, 0.5, 150, "h5", "TOK1"),
+    ]
+    edges = spark.createDataFrame(pd.DataFrame(rows))
+    edges.persist().count()
+    # natural termination on both sides: a max_steps cut would leave the
+    # sequential engine's final pop unpushed and ranks would differ by
+    # exactly that pop's α·r (the r3-documented comparison rule)
+    eps = 2e-2
+    seq = ExactCrawlEngine(spark, edges, "TTRRedirect", {"epsilon": eps}).run(A)
+    wave = TtrRedirectWaveEngine(spark, edges, epsilon=eps).run(A)
+    assert wave.pop_log == [(s, n) for s, n, _ in seq.pop_log]
+    ranks = wave.ranks()
+    for node, p in {k: v for k, v in seq.ranks.items() if v > 0}.items():
+        assert abs(ranks.get(node, 0.0) - p) < 1e-9, node
