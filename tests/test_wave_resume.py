@@ -114,3 +114,21 @@ def test_redirect_resume_restores_seeded_flag(spark, edges_df, source, tmp_path)
 def test_resume_without_checkpoint_raises(spark, edges_df):
     with pytest.raises(ValueError, match="checkpoint_dir"):
         HaircutWaveEngine(spark, edges_df).resume()
+
+
+def test_ttrtime_resume_equals_uninterrupted(spark, edges_df, source, tmp_path):
+    from blockchainspider_spark.engine.wave_weighted import TtrTimeWaveEngine
+
+    eps = 5e-2
+    full = TtrTimeWaveEngine(spark, edges_df, epsilon=eps).run(source, max_pops=8)
+    ck = str(tmp_path / "tt")
+    TtrTimeWaveEngine(spark, edges_df, epsilon=eps, checkpoint_dir=ck).run(
+        source, max_pops=3)
+    resumed = TtrTimeWaveEngine(spark, edges_df, epsilon=eps,
+                                checkpoint_dir=ck).resume(source, max_pops=8)
+    assert resumed.pop_log == full.pop_log
+    cf = {(r.node, r.ts): r.val for r in full.chips.collect()}
+    cr = {(r.node, r.ts): r.val for r in resumed.chips.collect()}
+    assert cf.keys() == cr.keys()
+    for k, v in cf.items():
+        assert abs(cr[k] - v) < 1e-12, k
