@@ -193,6 +193,9 @@ class VecAppr(VecStrategy):
         self.dists: dict[str, tuple[np.ndarray, float]] = {}  # node → (nbrs, share)
 
     def _push_known(self, node: str) -> None:
+        """Drain/cached-path push: the oracle's ``_scatter`` computes
+        ``d * r_node`` with ``d = (1-alpha)/degree`` — multiply in THAT
+        order (share first) for bit parity (oracle/strategies.py:235)."""
         r_node = self.r.get(node)
         self.r.set(node, 0.0)
         self.p.scatter(np.array([node], dtype=object), np.array([r_node * self.alpha]))
@@ -201,10 +204,18 @@ class VecAppr(VecStrategy):
             self.r.scatter(nbrs, np.full(len(nbrs), share * r_node))
 
     def push(self, node, batch: pd.DataFrame, **ctx: Any) -> None:
-        if self.r.get(node) == 0:
+        r_node = self.r.get(node)
+        if r_node == 0:
             return
         if node not in self.dists:
-            endpoints = np.concatenate([batch["from"].to_numpy(), batch["to"].to_numpy()])
+            # FIRST push of a node mirrors the oracle's uncached branch
+            # (oracle/strategies.py:251-255): the increment is computed as
+            # ``(1-alpha) * r_node / degree`` — a DIFFERENT float rounding
+            # than the cached ``((1-alpha)/degree) * r_node`` used on every
+            # later drain. Replicating both expressions exactly is what
+            # keeps ulp-level residual ties (and therefore the
+            # insertion-order pop tiebreak) identical to the oracle —
+            # the round-4 hypothesis counterexample flipped on this.
             # first-appearance distinct order, interleaved (from_i, to_i)
             inter = np.empty(2 * len(batch), dtype=object)
             inter[0::2] = batch["from"].to_numpy()
@@ -212,8 +223,16 @@ class VecAppr(VecStrategy):
             _, first_idx = np.unique(inter, return_index=True)
             ordered = inter[np.sort(first_idx)]
             nbrs = ordered[ordered != node]
-            share = (1 - self.alpha) / len(nbrs) if len(nbrs) else 0.0
+            degree = len(nbrs)
+            share = (1 - self.alpha) / degree if degree else 0.0
             self.dists[node] = (nbrs, share)
+            self.r.set(node, 0.0)
+            self.p.scatter(
+                np.array([node], dtype=object), np.array([r_node * self.alpha]))
+            if degree:
+                inc = (1 - self.alpha) * r_node / degree
+                self.r.scatter(nbrs, np.full(degree, inc))
+            return
         self._push_known(node)
 
     def pop(self):

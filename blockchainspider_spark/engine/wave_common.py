@@ -51,6 +51,12 @@ class PopLog:
         self._durable_dir = durable_dir
         self._compact_every = int(compact_every)
         self._appends_since_compact = 0
+        # Ping-pong between two compact dirs: after compaction K the live
+        # plan reads dir K%2, so compaction K+1 overwrites the OTHER dir.
+        # A single dir would make overwrite delete files the read side of
+        # the very same write job still references
+        # (FAILED_READ_FILE.FILE_NOT_EXIST on the second compaction).
+        self._compact_gen = 0
         self.df: DataFrame = spark.createDataFrame([], empty_schema)
 
     def _wave_dir(self, wave: int) -> str:
@@ -66,9 +72,12 @@ class PopLog:
         self.df = self.df.unionByName(wave_pops)
         self._appends_since_compact += 1
         if self._appends_since_compact >= self._compact_every:
-            compact_dir = os.path.join(self._work_dir, "pop_log_compact")
+            compact_dir = os.path.join(
+                self._work_dir, f"pop_log_compact_{self._compact_gen % 2}"
+            )
             self.df.write.mode("overwrite").parquet(compact_dir)
             self.df = self.spark.read.parquet(compact_dir)
+            self._compact_gen += 1
             self._appends_since_compact = 0
         return self.df
 

@@ -163,15 +163,16 @@ def q_strat_appr_degree_push_sql():
 
 
 def q_sim_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN (scale path) — rows-only: bucket recall is
-    an approximation by design; exactness is the brute-force twin
-    (sim_ann_topk), which has a SQL oracle."""
+    """Multi-table sign-LSH ANN (scale path) — rows-only: bucket recall
+    is an approximation by design; exactness is the brute-force twin
+    (sim_ann_topk), which has a SQL oracle, and the recall floor is
+    adjudicated by the self-checking sim_ann_lsh_recall row."""
     import os
 
     from blockchainspider_spark.operators.dedup import ann_lsh_bucketed
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ann_lsh_bucketed(emb, n_queries=5, k=3, n_planes=6)
+    return ann_lsh_bucketed(emb, n_queries=5, k=3)
 
 
 def q_sim_ann_ivf(spark, sf_dir):

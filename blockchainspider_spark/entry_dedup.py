@@ -237,19 +237,39 @@ def q_sim_ann_topk_sql():
 
 
 def q_sim_ann_lsh_recall(spark, sf_dir):
-    """Recall floor for the sign-LSH ANN against its exact brute-force
-    twin (rows-only by design: the hash planes aren't SQL-reproducible).
-    Emits one row per query whose recall@3 ≥ 2/3 — a recall regression
-    SHRINKS the row count, which the driver's rows-only check records,
-    so the approximate path is adjudicated instead of merely executed."""
+    """Recall floor for the multi-table sign-LSH ANN against its exact
+    brute-force twin (rows-only by design: the hash planes aren't
+    SQL-reproducible) — SELF-CHECKING: the callable RAISES unless every
+    query reaches recall@3 ≥ 2/3, so a green row certifies the floor
+    rather than merely that the query executed. The round-3/4 version
+    only filtered on the floor: with single-table LSH recall at 0.0 it
+    emitted 0 rows and the driver recorded that as green for two rounds
+    (VERDICT r4 what's-wrong #2). Emits one row per query (5 when
+    green) with its measured recall; queries with zero LSH hits still
+    appear (left join from the brute side) at recall 0."""
     emb = _emb(spark, sf_dir)
     brute = D.ann_topk(emb, n_queries=5, k=3).select("query_id", "neighbor_id")
-    lsh = D.ann_lsh_bucketed(emb, n_queries=5, k=3).select("query_id", "neighbor_id")
-    hits = brute.join(lsh, on=["query_id", "neighbor_id"], how="inner")
-    recall = hits.groupBy("query_id").agg((F.count("*") / F.lit(3.0)).alias("recall"))
-    return recall.where(F.col("recall") >= 2.0 / 3.0).select(
-        "query_id", F.round("recall", 6).alias("recall")
+    lsh = D.ann_lsh_bucketed(emb, n_queries=5, k=3).select(
+        "query_id", F.col("neighbor_id").alias("lsh_neighbor")
     )
+    recall = (
+        brute.join(
+            lsh,
+            (brute["query_id"] == lsh["query_id"])
+            & (brute["neighbor_id"] == lsh["lsh_neighbor"]),
+            how="left",
+        )
+        .groupBy(brute["query_id"].alias("query_id"))
+        .agg((F.count("lsh_neighbor") / F.lit(3.0)).alias("recall"))
+    )
+    rows = recall.collect()
+    floor = 2.0 / 3.0 - 1e-9
+    bad = [(r.query_id, r.recall) for r in rows if r.recall < floor]
+    if bad or len(rows) != 5:
+        raise AssertionError(
+            f"sign-LSH recall@3 floor missed: {sorted(bad)} (rows={len(rows)})"
+        )
+    return recall.select("query_id", F.round("recall", 6).alias("recall"))
 
 
 # --------------------------------------------------------------------------

@@ -150,13 +150,36 @@ def test_ann_plans_independent_of_embedding_width(spark):
     assert ivf.count() > 0
 
 
-def test_ann_lsh_buckets_match_seeded_planes(spark):
-    """The kernel's bucket assignment equals a driver-side numpy replay
-    with the same seed — the determinism contract the recall gate row
-    depends on."""
+def _lsh_replay_candidates(vecs, n_queries, p, L, probe_bits=1, seed=12345):
+    """Driver-side numpy replay of the multi-table construction with the
+    operator's documented seed/packing: planes shape (L, p, dims), sig
+    bits MSB-first, query probes = own bucket ∪ single-bit flips."""
     import numpy as np
 
-    dims, n_planes = 16, 6
+    planes = np.random.default_rng(seed).standard_normal((L, p, vecs.shape[1]))
+    w = 1 << np.arange(p - 1, -1, -1)
+    sigs = np.stack([((vecs @ planes[t].T) > 0) @ w for t in range(L)], axis=1)
+    cands = {}
+    for qi in range(n_queries):
+        got = set()
+        for t in range(L):
+            buckets = {sigs[qi, t]}
+            if probe_bits:
+                buckets |= {sigs[qi, t] ^ (1 << b) for b in range(p)}
+            got |= set(np.where(np.isin(sigs[:, t], list(buckets)))[0])
+        got.discard(qi)
+        cands[qi] = got
+    return cands
+
+
+def test_ann_lsh_candidates_match_seeded_replay(spark):
+    """The multi-table kernel's candidate set equals a driver-side numpy
+    replay with the same seed — the determinism contract the recall
+    gate row depends on. k is set ≥ n so the top-k keeps EVERY scored
+    candidate, making the returned pair set exactly the candidate set."""
+    import numpy as np
+
+    dims, p, L = 16, 5, 10
     rng = np.random.default_rng(3)
     vecs = rng.standard_normal((30, dims))
     pdf = pd.DataFrame({
@@ -164,18 +187,61 @@ def test_ann_lsh_buckets_match_seeded_planes(spark):
         "embedding": [list(map(float, v)) for v in vecs],
     })
     emb = spark.createDataFrame(pdf)
-    base = emb.select(
-        F.col("vec_id").alias("vid"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    # reach the signature stage via the public operator's internals:
-    # rebuild expected buckets with the documented seed/packing
-    planes = np.random.default_rng(12345).standard_normal((n_planes, dims))
-    bits = (vecs @ planes.T) > 0
-    weights = 1 << np.arange(n_planes - 1, -1, -1)
-    want = dict(zip(range(30), (bits @ weights).astype(int)))
+    want = _lsh_replay_candidates(vecs, n_queries=5, p=p, L=L)
 
-    out = D.ann_lsh_bucketed(emb, n_queries=30, k=50, n_planes=n_planes)
-    # every returned (query, neighbor) pair shares a bucket in the replay
+    out = D.ann_lsh_bucketed(emb, n_queries=5, k=50, n_planes=p, n_tables=L)
+    got = {}
     for r in out.collect():
-        assert want[r.query_id] == want[r.neighbor_id], r
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert got == {q: c for q, c in want.items() if c}
+
+
+def test_ann_lsh_concentrated_data_prunes_and_recalls(spark):
+    """The 100-TB story: on data with REAL near-duplicates (cosine
+    ≈ 0.98, the web-scale near-dup regime) the multi-table construction
+    both finds every planted neighbor (recall 1.0) and prunes the
+    candidate set hard — unlike the near-orthogonal gate fixture where
+    the cut is modest by necessity (operator docstring)."""
+    import numpy as np
+
+    dims, n_bg, n_q, planted = 64, 400, 5, 3
+    rng = np.random.default_rng(7)
+    qs = rng.standard_normal((n_q, dims))
+    rows, vid = [], 0
+    planted_ids = {}
+    for qi in range(n_q):
+        rows.append((vid, [float(x) for x in qs[qi]]))
+        vid += 1
+    for qi in range(n_q):
+        planted_ids[qi] = []
+        for _ in range(planted):
+            near = qs[qi] + 0.08 * rng.standard_normal(dims)
+            rows.append((vid, [float(x) for x in near]))
+            planted_ids[qi].append(vid)
+            vid += 1
+    bg = rng.standard_normal((n_bg, dims))
+    for i in range(n_bg):
+        rows.append((vid + i, [float(x) for x in bg[i]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # the scale configuration: near-dup data supports many more planes
+    # per table (cos 0.98 ⇒ per-plane agreement ≈ 0.94), which is where
+    # the candidate cut comes from — p=12 gives a background collision
+    # rate of (1+12)/2^12 ≈ 0.3% per table while planted pairs still
+    # collide in almost every table
+    p, L = 12, 10
+    out = D.ann_lsh_bucketed(emb, n_queries=n_q, k=planted, n_planes=p, n_tables=L)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qi in range(n_q):
+        assert sorted(got[qi]) == sorted(planted_ids[qi]), qi
+
+    # candidate cut: numpy replay of the same seeded construction shows
+    # the planted neighbors collide while most background does not
+    vecs = np.array([v for _, v in sorted(rows)], dtype=np.float64)
+    cands = _lsh_replay_candidates(vecs, n_queries=n_q, p=p, L=L)
+    frac = sum(len(c) for c in cands.values()) / (n_q * len(vecs))
+    assert frac < 0.25, frac
+    for qi in range(n_q):
+        assert set(planted_ids[qi]) <= cands[qi]

