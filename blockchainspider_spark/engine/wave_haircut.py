@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from blockchainspider_spark.engine.wave_common import PopLog, WaveCheckpoint
+from blockchainspider_spark.engine.wave_common import PopLog, WaveCheckpoint, ensure_wave_aligned
 from blockchainspider_spark.operators.transfers import with_symbol_identity
 
 NODE_STATE_SCHEMA = (
@@ -165,6 +165,7 @@ class HaircutWaveEngine:
                 budget = min(budget, max_pops - st.next_seq)
             if budget <= 0:
                 break
+            ensure_wave_aligned(eligible, budget, self.k, wave, max_pops)
             popped = (
                 eligible.orderBy(*pop_order).limit(budget)
                 .withColumn("seq", (F.lit(st.next_seq) - 1 + F.row_number().over(seq_w)).cast("long"))
@@ -208,18 +209,28 @@ class HaircutWaveEngine:
                     F.lit(False).alias("visited"),
                 )
             )
-            # merge: zero the popped rows' weight (the reference zeroes
-            # before scattering, so self-loops re-credit the popped
-            # node), mark them visited, fold the deltas in ONE groupBy
+            # merge: zero the weight of popped rows THAT SCATTERED (the
+            # sequential push returns early on out-sum == 0 — a dead-end
+            # pop KEEPS its weight; found by the wave property tests),
+            # zeroing before the delta fold so self-loops re-credit the
+            # popped node; mark all pops visited; fold deltas in ONE
+            # groupBy. `scattered` is ≤k rows — broadcast.
+            scattered = (
+                pj.groupBy("from").agg(F.sum("value").alias("_os"))
+                .where(F.col("_os") > 0.0)
+                .select(F.col("from").alias("node"), F.lit(True).alias("_zero"))
+            )
             is_popped = F.col("_pseq").isNotNull()
             base = (
                 st.node_state.join(
                     F.broadcast(popped.select("node", F.col("seq").alias("_pseq"))),
                     on="node", how="left",
                 )
+                .join(F.broadcast(scattered), on="node", how="left")
                 .select(
                     "node",
-                    F.when(is_popped, 0.0).otherwise(F.col("weight")).alias("weight"),
+                    F.when(F.col("_zero").isNotNull(), 0.0)
+                    .otherwise(F.col("weight")).alias("weight"),
                     "fk",
                     (F.col("visited") | is_popped).alias("visited"),
                 )

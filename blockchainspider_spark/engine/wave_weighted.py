@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from blockchainspider_spark.engine.wave_common import PopLog, WaveCheckpoint
+from blockchainspider_spark.engine.wave_common import PopLog, WaveCheckpoint, ensure_wave_aligned
 from blockchainspider_spark.operators.transfers import with_symbol_identity
 
 POP_LOG_SCHEMA = "seq long, node string, residual double, wave long"
@@ -185,8 +185,10 @@ class TtrWaveEngine:
             if budget <= 0:
                 break
             # strict r > epsilon, matching argmax_over's threshold compare
+            eligible = st.node_state.where(F.col("r") > self.epsilon)
+            ensure_wave_aligned(eligible, budget, self.k, wave, max_pops)
             pop_rows = (
-                st.node_state.where(F.col("r") > self.epsilon)
+                eligible
                 .orderBy(*pop_order).limit(budget)
                 .withColumn("seq", (F.lit(st.next_seq) - 1
                                     + F.row_number().over(seq_w)).cast("long"))
@@ -465,8 +467,10 @@ class ApprWaveEngine:
             # post-drain, any node above ε is either uncrawled or an
             # isolated re-pop (zero distinct neighbors — excluded from
             # the drain exactly like the reference's falsy-cache skip)
+            eligible = state.where(F.col("r") > self.epsilon)
+            ensure_wave_aligned(eligible, budget, self.k, wave, max_pops)
             popped = (
-                state.where(F.col("r") > self.epsilon)
+                eligible
                 .orderBy(*pop_order).limit(budget)
                 .withColumn("seq", (F.lit(st.next_seq) - 1
                                     + F.row_number().over(seq_w)).cast("long"))
@@ -631,11 +635,14 @@ class TtrTimeWaveEngine:
         touch = self._outs.where(F.col("node") == source).withColumn(
             "_is_out", F.lit(True)
         ).unionByName(
-            self._ins.where((F.col("node") == source) & (F.col("target") != source))
+            self._ins.where(F.col("node") == source)
             .withColumn("_is_out", F.lit(False))
         )
-        # ^ self-loop edges appear once (out branch), like the sequential
-        #   batch where one row carries both endpoints
+        # in/out TOTALS count every edge on that side — INCLUDING
+        # self-loops on the in side (the sequential seed's is_in_any mask
+        # is `to == source` with no self-exclusion; the wave property
+        # tests caught an all-self-loop source getting a spurious
+        # in-sentinel chip from a self-loop-excluded in_total of 0)
         tot = touch.agg(
             F.sum(F.when(F.col("_is_out"), F.col("value"))).alias("out_total"),
             F.sum(F.when(~F.col("_is_out"), F.col("value"))).alias("in_total"),
@@ -644,10 +651,15 @@ class TtrTimeWaveEngine:
         in_total = float(tot.in_total or 0.0)
         out_coeff = (1 - self.alpha) * self.beta
         in_coeff = (1 - self.alpha) * (1 - self.beta)
+        # chip ASSIGNMENT still sees a self-loop once, via its out branch
+        # (the sequential per-row loop checks `from == source` first, so
+        # the elif in-branch never fires for a self-loop row): in-side
+        # self-loop rows get NULL here and drop out below
         val = (
             F.when(F.col("_is_out") & F.lit(out_total != 0.0),
                    F.lit(out_coeff) * F.col("value") / F.lit(out_total or 1.0))
-            .when((~F.col("_is_out")) & F.lit(in_total != 0.0),
+            .when((~F.col("_is_out")) & (F.col("target") != source)
+                  & F.lit(in_total != 0.0),
                   F.lit(in_coeff) * F.col("value") / F.lit(in_total or 1.0))
         )
         # canonical write order: (_bn, ts, id) with the out branch of a
@@ -802,9 +814,13 @@ class TtrTimeWaveEngine:
             if budget <= 0:
                 break
             sums = st.chips.groupBy("node").agg(F.sum("val").alias("r"))
-            popped = (
+            eligible = (
                 sums.where(F.col("r") > self.epsilon)
                 .join(st.meta.select("node", "fk"), on="node", how="inner")
+            )
+            ensure_wave_aligned(eligible, budget, self.k, wave, max_pops)
+            popped = (
+                eligible
                 .orderBy(*pop_order).limit(budget)
                 .withColumn("seq", (F.lit(st.next_seq) - 1
                                     + F.row_number().over(seq_w)).cast("long"))

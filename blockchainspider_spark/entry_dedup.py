@@ -272,6 +272,41 @@ def q_sim_ann_lsh_recall(spark, sf_dir):
     return recall.select("query_id", F.round("recall", 6).alias("recall"))
 
 
+def q_sim_ann_ivf_trained(spark, sf_dir):
+    """Trained-quantizer IVF ANN (distributed Lloyd's k-means → per-cell
+    top-k, nprobe=1) — rows-only, SELF-CHECKING: the float-valued
+    centroids aren't SQL-reproducible (the deterministic-quantizer twin
+    sim_ann_ivf carries the full oracle), so the callable certifies a
+    recall floor vs the brute-force twin instead and RAISES below it
+    (same contract as sim_ann_lsh_recall). Emits one row per query
+    (5 when green) with its measured recall@3; floor 2/3, measured 1.0
+    at sf0.1 and ≥2/3 at sf0.01 with k=8 cells, 3 Lloyd iterations."""
+    emb = _emb(spark, sf_dir)
+    cents = D.kmeans_train(emb, k=8, iters=3)
+    brute = D.ann_topk(emb, n_queries=5, k=3).select("query_id", "neighbor_id")
+    ivf = D.ann_ivf(emb, n_centroids=8, n_queries=5, k=3, centroids=cents).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    recall = (
+        brute.join(
+            ivf,
+            (brute["query_id"] == ivf["query_id"])
+            & (brute["neighbor_id"] == ivf["ivf_neighbor"]),
+            how="left",
+        )
+        .groupBy(brute["query_id"].alias("query_id"))
+        .agg((F.count("ivf_neighbor") / F.lit(3.0)).alias("recall"))
+    )
+    rows = recall.collect()
+    floor = 2.0 / 3.0 - 1e-9
+    bad = [(r.query_id, r.recall) for r in rows if r.recall < floor]
+    if bad or len(rows) != 5:
+        raise AssertionError(
+            f"trained-IVF recall@3 floor missed: {sorted(bad)} (rows={len(rows)})"
+        )
+    return recall.select("query_id", F.round("recall", 6).alias("recall"))
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

@@ -1077,12 +1077,16 @@ def q_x4_dcfg_tracer_roundtrip(spark, sf_dir):
         reqs.select(
             "transaction_hash",
             F.get_json_object("body", "$.method").alias("rpc_method"),
+            # spec conformance (ADVICE r4): params[0] must be the BARE
+            # tx-hash string, not an object wrapping it
+            (F.get_json_object("body", "$.params[0]")
+             == F.col("transaction_hash")).cast("int").alias("param0_is_hash"),
             F.get_json_object("body", "$.params[1].tracer").isNotNull()
             .cast("int").alias("has_tracer"),
         )
         .join(edges, on="transaction_hash", how="inner")
         .select(
-            "transaction_hash", "rpc_method", "has_tracer",
+            "transaction_hash", "rpc_method", "param0_is_hash", "has_tracer",
             "address_from", "start_pc_from", "address_to", "start_pc_to",
             "flow_type", F.col("value").cast("long").alias("value"),
             F.col("gas").cast("long").alias("gas"), "selector",
@@ -1095,6 +1099,7 @@ def q_x4_dcfg_tracer_roundtrip_sql():
     return """
     SELECT 'tx' || CAST(event_id AS VARCHAR) AS transaction_hash,
            'debug_traceTransaction' AS rpc_method,
+           1 AS param0_is_hash,
            1 AS has_tracer,
            '0xc' || CAST(event_id AS VARCHAR) AS address_from,
            CAST(0 AS BIGINT) AS start_pc_from,

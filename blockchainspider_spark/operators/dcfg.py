@@ -81,22 +81,27 @@ def dcfg_trace_requests(
     (gas == 21000) runs no code, so the reference only traces
     `gas > 21000` (trace.py:49-50) — same predicate here, pushed to the
     scan."""
+    # params is HETEROGENEOUS per the JSON-RPC debug_trace* spec
+    # (reference trace.py:155: `params: [txhash, {tracer}]`) — a bare
+    # string then an object — which to_json(struct) cannot express, so
+    # the body is assembled from to_json pieces: the tracer object gets
+    # real JSON escaping via to_json, the tx hash is a hex string
+    # (quote-safe by construction) spliced in as the bare params[0]
+    # (ADVICE r4: a real provider rejects `{"tx": hash}` there)
+    tracer_obj = F.to_json(F.struct(F.lit(tracer_js).alias("tracer")))
     return (
         txs.where(F.col(gas_col).cast("long") > gas_threshold)
         .select(
             F.col(tx_col).alias("transaction_hash"),
             F.lit("POST").alias("method"),
-            F.to_json(F.struct(
-                F.lit("2.0").alias("jsonrpc"),
-                F.lit("debug_traceTransaction").alias("method"),
-                F.array(
-                    F.struct(F.col(tx_col).alias("tx"),
-                             F.lit(None).cast("string").alias("tracer")),
-                    F.struct(F.lit(None).cast("string").alias("tx"),
-                             F.lit(tracer_js).alias("tracer")),
-                ).alias("params"),
-                F.lit(1).alias("id"),
-            )).alias("body"),
+            F.concat(
+                F.lit('{"jsonrpc":"2.0","method":"debug_traceTransaction",'
+                      '"params":["'),
+                F.col(tx_col),
+                F.lit('",'),
+                tracer_obj,
+                F.lit('],"id":1}'),
+            ).alias("body"),
             (F.lit(0) - F.col(gas_col).cast("long")).alias("priority"),
         )
     )
@@ -110,23 +115,20 @@ def dcfg_block_requests(
     """`debug_traceBlockByNumber` form: params[0] is the hex block tag,
     priority 2^32 − block (ascending block order, reference
     blocks.py:134)."""
+    tracer_obj = F.to_json(F.struct(F.lit(tracer_js).alias("tracer")))
     return blocks.select(
         F.col(block_col).cast("long").alias("block_number"),
         F.lit("POST").alias("method"),
-        F.to_json(F.struct(
-            F.lit("2.0").alias("jsonrpc"),
-            F.lit("debug_traceBlockByNumber").alias("method"),
-            F.array(
-                F.struct(
-                    F.concat(F.lit("0x"), F.lower(F.hex(F.col(block_col))))
-                    .alias("tag"),
-                    F.lit(None).cast("string").alias("tracer"),
-                ),
-                F.struct(F.lit(None).cast("string").alias("tag"),
-                         F.lit(tracer_js).alias("tracer")),
-            ).alias("params"),
-            F.lit(1).alias("id"),
-        )).alias("body"),
+        # params[0] is the BARE hex tag string (spec + ADVICE r4), the
+        # tracer object follows with to_json escaping
+        F.concat(
+            F.lit('{"jsonrpc":"2.0","method":"debug_traceBlockByNumber",'
+                  '"params":["0x'),
+            F.lower(F.hex(F.col(block_col))),
+            F.lit('",'),
+            tracer_obj,
+            F.lit('],"id":1}'),
+        ).alias("body"),
         (F.lit(1 << 32) - F.col(block_col).cast("long")).alias("priority"),
     )
 

@@ -20,7 +20,9 @@ def test_block_requests_hex_tag_and_priority(spark):
     rows = {r.block_number: r for r in dcfg_block_requests(blocks).collect()}
     body = json.loads(rows[255].body)
     assert body["method"] == "debug_traceBlockByNumber"
-    assert body["params"][0]["tag"] == "0xff"
+    # params[0] is the BARE hex tag per the JSON-RPC debug_trace* spec
+    # (ADVICE r4 — an object wrapper is rejected by real providers)
+    assert body["params"][0] == "0xff"
     assert body["params"][1]["tracer"] == DCFG_TRACER_JS
     # ascending block order via 2^32 − block (reference blocks.py:134)
     assert rows[255].priority > rows[16_000_000].priority

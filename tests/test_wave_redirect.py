@@ -60,8 +60,9 @@ def test_k1_ranks_match_sequential(spark, edges_df, source):
 
 
 def test_batched_k3_terminates_and_is_dense(spark, edges_df, source):
+    # 10 = seed wave (1 pop) + 3 full k=3 waves (wave-aligned budget)
     wave = TtrRedirectWaveEngine(spark, edges_df, epsilon=EPS, k=3).run(
-        source, max_pops=9
+        source, max_pops=10
     )
     seqs = [s for s, _ in wave.pop_log]
     assert seqs == list(range(len(seqs)))
@@ -117,3 +118,47 @@ def test_k1_parity_on_adversarial_graph(spark):
     ranks = wave.ranks()
     for node, p in {k: v for k, v in seq.ranks.items() if v > 0}.items():
         assert abs(ranks.get(node, 0.0) - p) < 1e-9, node
+
+
+def test_hub_node_skew_guard(spark):
+    """VERDICT r4 perf item: a popped hub whose edge slice exceeds
+    ``max_push_edges`` must fail LOUDLY (the A11 walk is sequential
+    within a node, so the hub would otherwise become a single-task
+    straggler at scale) — and a run whose hubs fit the cap completes
+    with per-task edge rows bounded by that documented cap. Star graph:
+    source s feeds hub h, h fans out to 50k leaves; popping h hands the
+    kernel a 50,001-edge slice."""
+    n_leaves = 50_000
+    s, h = "0x" + "e" * 40, "0x" + "f" * 40
+    leaves = spark.range(n_leaves).select(
+        F.sha1(F.concat_ws("_", F.lit("hub"), "id")).alias("id"),
+        F.sha1(F.concat_ws("#", F.lit("hub"), "id")).alias("hash"),
+        F.lit(h).alias("address_from"),
+        F.concat(F.lit("leaf"), F.col("id")).alias("address_to"),
+        F.lit("1.0").alias("value"), F.lit("").alias("token_id"),
+        (F.lit(200) + F.col("id")).cast("long").alias("timestamp"),
+        (F.lit(10) + F.col("id")).cast("long").alias("block_number"),
+        F.lit("0x" + "0" * 40).alias("contract_address"),
+        F.lit("native").alias("symbol"),
+        F.lit(18).alias("decimals"),
+        F.lit("0").alias("gas"), F.lit("0").alias("gas_price"),
+    )
+    feed = spark.createDataFrame(
+        [("0xseed", "hseed", s, h, "1.0", "", 100, 1,
+          "0x" + "0" * 40, "native", 18, "0", "0")],
+        leaves.schema,
+    )
+    edges = feed.unionByName(leaves)
+    edges.persist().count()
+
+    # cap below the hub degree: the wave that pops h raises loudly,
+    # naming the node and the cap
+    tight = TtrRedirectWaveEngine(spark, edges, epsilon=1e-6,
+                                  max_push_edges=10_000)
+    with pytest.raises(Exception, match="max_push_edges"):
+        tight.run(s, max_pops=2)
+
+    # default cap admits the hub: the crawl completes and pops h second
+    ok = TtrRedirectWaveEngine(spark, edges, epsilon=1e-6).run(s, max_pops=2)
+    assert [n for _, n in ok.pop_log] == [s, h]
+    edges.unpersist()

@@ -46,12 +46,11 @@ def test_poplog_compaction_bounds_plan(spark, tmp_path):
 
 
 def test_haircut_resume_equals_uninterrupted(spark, edges_df, source, tmp_path):
-    """max_pops cuts must land on a WAVE boundary for the resumed crawl
-    to equal the uninterrupted one: with k=2 the waves pop seqs
-    (0),(1,2),(3,4),(5,6)…, so cutting at 7 preserves the batch
-    boundaries while cutting at 6 would split a wave (both halves then
-    read different pre-wave states — the documented k>1 semantics, not
-    a resume defect)."""
+    """Interrupted ≡ uninterrupted holds unconditionally for any
+    ACCEPTED max_pops: with k=2 the waves pop seqs (0),(1,2),(3,4),
+    (5,6)…, and a budget that would split a wave mid-batch now RAISES
+    (see test_midwave_budget_cut_raises) instead of quietly producing a
+    sequence no uninterrupted run can produce."""
     full = HaircutWaveEngine(spark, edges_df, k=2).run(source, max_pops=11)
     ck = str(tmp_path / "hc")
     HaircutWaveEngine(spark, edges_df, k=2, checkpoint_dir=ck).run(source, max_pops=7)
@@ -126,6 +125,18 @@ def test_redirect_resume_restores_seeded_flag(spark, edges_df, source, tmp_path)
 def test_resume_without_checkpoint_raises(spark, edges_df):
     with pytest.raises(ValueError, match="checkpoint_dir"):
         HaircutWaveEngine(spark, edges_df).resume()
+
+
+def test_midwave_budget_cut_raises(spark, edges_df, source):
+    """A max_pops that would clamp a k>1 wave below k while more nodes
+    are eligible must raise, not truncate: with k=2 and boundaries at
+    1,3,5,7…, max_pops=6 lands mid-wave (VERDICT r4 what's-wrong #3).
+    k=1 never raises — every cut is a wave boundary."""
+    with pytest.raises(ValueError, match="mid-batch"):
+        HaircutWaveEngine(spark, edges_df, k=2).run(source, max_pops=6)
+    # the same budget is fine at k=1
+    st = HaircutWaveEngine(spark, edges_df, k=1).run(source, max_pops=6)
+    assert st.next_seq == 6
 
 
 def test_ttrtime_resume_equals_uninterrupted(spark, edges_df, source, tmp_path):

@@ -40,8 +40,10 @@ def test_repops_happen(spark, edges_df, source):
 
 
 def test_batched_k4_terminates_and_is_dense(spark, edges_df, source):
+    # 37 = seed wave (1 pop) + 9 full k=4 waves — budgets must land on
+    # a wave boundary now that mid-batch cuts raise (VERDICT r4)
     wave = TtrWaveEngine(spark, edges_df, weighted=False, epsilon=5e-3, k=4).run(
-        source, max_pops=40
+        source, max_pops=37
     )
     seqs = [s for s, _ in wave.pop_log]
     assert seqs == list(range(len(seqs)))
