@@ -159,3 +159,27 @@ def test_wave_ttrredirect_property(spark, edges):
         lambda sp, e: TtrRedirectWaveEngine(sp, e, epsilon=1e-1),
         lambda w: w.ranks(),
     )
+
+
+@settings(max_examples=15, deadline=None)
+@given(edges=edge_lists())
+def test_wave_bfs_property(spark, edges):
+    """Flagship engine on random graphs: BfsWaveEngine's pop order,
+    per-pop depth, and seen membership equal the in-memory reference
+    oracle (oracle/crawl.run_crawl). The fixture test pins one 60-node
+    graph; this drives the FIFO tiebreak and the frontier dedup across
+    arbitrary shapes incl. self-loops and multi-edges."""
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
+    from blockchainspider_spark.oracle.crawl import run_crawl
+
+    oracle = run_crawl(edges, "n0", "BFS", {"depth": 2})
+    engine = BfsWaveEngine(spark, spark.createDataFrame(edges), max_depth=2)
+    state, _, _ = engine.run("n0", collect_transfers=False)
+    got = [(seq, node) for seq, node, _ in state.pop_log]
+    want = [(step, node) for step, node, _ in oracle.pop_log]
+    assert got == want
+    got_depth = {node: depth for _, node, depth in state.pop_log}
+    want_depth = {node: ctx.get("depth", 0) for _, node, ctx in oracle.pop_log}
+    assert got_depth == want_depth
+    seen_nodes = {r.node for r in state.seen.select("node").collect()}
+    assert seen_nodes == oracle.seen
