@@ -1,0 +1,201 @@
+"""S17: real SOCKS5 (RFC 1928) client + HTTP-over-tunnel fetch.
+
+The reference's Tor middleware (BlockchainSpider/middlewares/tor.py:13-72)
+routes every request through a SOCKS5 proxy at ``tor_host:tor_port``
+with a concurrency semaphore. This module implements the same hop as a
+from-scratch stdlib-socket SOCKS5 client — the greeting/method
+negotiation, the CONNECT request with the DOMAIN address type (the form
+Tor requires so the exit resolves the name), and the reply parsing with
+the RFC's error taxonomy — plus a minimal HTTP/1.1 GET over the
+established tunnel and a mapInPandas kernel for fetching URL batches
+through it.
+
+What stays environment-gated is only the REAL Tor daemon: the protocol
+itself is fully implemented and pinned against a loopback SOCKS5 server
+in tests/test_socks5.py (handshake bytes, DOMAIN addressing, error
+replies, and the Spark kernel end-to-end). The crawl engines' shared
+politeness bucket (functions/payload.make_fetch_kernel(proxy=...))
+already models the reference's single-bottleneck pacing; this module
+supplies the missing socket hop.
+
+Scale shape: per-row socket I/O is inherent to a fetch (the reference
+is per-request too); the kernel is mapInPandas so fetches parallelize
+per partition while the Arrow batch amortizes scheduling, and the
+proxy address travels in the closure — nothing per-row reaches the
+plan.
+"""
+
+from __future__ import annotations
+
+import socket
+from collections.abc import Iterator
+from urllib.parse import urlsplit
+
+SOCKS_VERSION = 0x05
+_METHOD_NO_AUTH = 0x00
+_CMD_CONNECT = 0x01
+_ATYP_IPV4 = 0x01
+_ATYP_DOMAIN = 0x03
+_ATYP_IPV6 = 0x04
+
+# RFC 1928 §6 reply field
+REPLY_NAMES = {
+    0x00: "succeeded",
+    0x01: "general SOCKS server failure",
+    0x02: "connection not allowed by ruleset",
+    0x03: "network unreachable",
+    0x04: "host unreachable",
+    0x05: "connection refused",
+    0x06: "TTL expired",
+    0x07: "command not supported",
+    0x08: "address type not supported",
+}
+
+
+class Socks5Error(OSError):
+    pass
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise Socks5Error(f"proxy closed connection mid-read ({len(buf)}/{n})")
+        buf += chunk
+    return buf
+
+
+def socks5_connect(
+    proxy_host: str, proxy_port: int, dest_host: str, dest_port: int,
+    timeout: float = 10.0,
+) -> socket.socket:
+    """Open a TCP tunnel to ``dest_host:dest_port`` through a SOCKS5
+    proxy and return the connected socket. The destination always goes
+    as the DOMAIN address type, so the proxy (e.g. a Tor daemon)
+    resolves the name — never the client; .onion addresses only work
+    this way."""
+    sock = socket.create_connection((proxy_host, proxy_port), timeout=timeout)
+    try:
+        # greeting: VER NMETHODS METHODS — we offer no-auth only (the
+        # reference's ProxyConnector default against a local Tor)
+        sock.sendall(bytes([SOCKS_VERSION, 1, _METHOD_NO_AUTH]))
+        ver, method = _recv_exact(sock, 2)
+        if ver != SOCKS_VERSION:
+            raise Socks5Error(f"not a SOCKS5 proxy (version byte {ver})")
+        if method != _METHOD_NO_AUTH:
+            raise Socks5Error(f"proxy demands auth method {method:#x}; only no-auth supported")
+        # request: VER CMD RSV ATYP DST.ADDR DST.PORT
+        host_b = dest_host.encode("idna") if dest_host.isascii() else dest_host.encode()
+        if len(host_b) > 255:
+            raise Socks5Error("destination hostname longer than 255 bytes")
+        req = bytes([SOCKS_VERSION, _CMD_CONNECT, 0x00, _ATYP_DOMAIN, len(host_b)])
+        req += host_b + dest_port.to_bytes(2, "big")
+        sock.sendall(req)
+        ver, rep, _rsv, atyp = _recv_exact(sock, 4)
+        if ver != SOCKS_VERSION:
+            raise Socks5Error(f"malformed reply version {ver}")
+        if rep != 0x00:
+            raise Socks5Error(
+                f"CONNECT to {dest_host}:{dest_port} failed: "
+                f"{REPLY_NAMES.get(rep, f'reply {rep:#x}')}"
+            )
+        # drain BND.ADDR + BND.PORT (length depends on ATYP)
+        if atyp == _ATYP_IPV4:
+            _recv_exact(sock, 4 + 2)
+        elif atyp == _ATYP_DOMAIN:
+            (alen,) = _recv_exact(sock, 1)
+            _recv_exact(sock, alen + 2)
+        elif atyp == _ATYP_IPV6:
+            _recv_exact(sock, 16 + 2)
+        else:
+            raise Socks5Error(f"unknown bound address type {atyp:#x}")
+        return sock
+    except BaseException:
+        sock.close()
+        raise
+
+
+def http_get_over_socks5(
+    url: str, proxy: tuple[str, int], timeout: float = 10.0,
+    max_body: int = 16 * 1024 * 1024,
+) -> tuple[int, bytes]:
+    """Minimal HTTP/1.1 GET through the SOCKS5 tunnel: status + body.
+    Plain http only — the sandbox ships no TLS peer to test against;
+    a real deployment wraps the returned socket in ssl for https
+    (the protocol layering point is the same)."""
+    parts = urlsplit(url)
+    if parts.scheme != "http":
+        raise Socks5Error(f"only http:// supported here (got {parts.scheme!r})")
+    host = parts.hostname or ""
+    port = parts.port or 80
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    sock = socks5_connect(proxy[0], int(proxy[1]), host, port, timeout=timeout)
+    try:
+        sock.settimeout(timeout)
+        req = (
+            f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
+            "Connection: close\r\nUser-Agent: spark-frontier/1.0\r\n\r\n"
+        )
+        sock.sendall(req.encode("ascii"))
+        raw = b""
+        while b"\r\n\r\n" not in raw:
+            chunk = sock.recv(65536)
+            if not chunk:
+                raise Socks5Error("connection closed before response headers")
+            raw += chunk
+        head, _, body = raw.partition(b"\r\n\r\n")
+        lines = head.split(b"\r\n")
+        status = int(lines[0].split()[1])
+        headers = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        want = int(headers.get(b"content-length", -1))
+        while (want < 0 or len(body) < want) and len(body) < max_body:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            body += chunk
+        return status, body[:want] if want >= 0 else body
+    finally:
+        sock.close()
+
+
+FETCH_SCHEMA = "url string, status int, body binary, err string"
+
+
+def socks5_fetch_kernel(proxy: tuple[str, int], timeout: float = 10.0):
+    """mapInPandas kernel: (url) batches → (url, status, body, err)
+    rows fetched through the SOCKS5 proxy. Failures land in ``err``
+    per-row (the reference's IgnoreRequest becomes a NULL-status row
+    the caller filters), never kill the task."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"url": [], "status": [], "body": [], "err": []}
+            for url in pdf["url"]:
+                try:
+                    status, body = http_get_over_socks5(url, proxy, timeout=timeout)
+                    out["url"].append(url)
+                    out["status"].append(status)
+                    out["body"].append(body)
+                    out["err"].append(None)
+                except Exception as exc:  # noqa: BLE001 — per-row fault isolation
+                    out["url"].append(url)
+                    out["status"].append(None)
+                    out["body"].append(None)
+                    out["err"].append(str(exc))
+            yield pd.DataFrame({
+                "url": pd.Series(out["url"], dtype=object),
+                "status": pd.Series(out["status"], dtype="Int32"),
+                "body": pd.Series(out["body"], dtype=object),
+                "err": pd.Series(out["err"], dtype=object),
+            })
+
+    return kernel
