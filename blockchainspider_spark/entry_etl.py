@@ -1036,6 +1036,70 @@ def q_mm_audio_features_sql():
     """
 
 
+def q_mm_audio_g711(spark, sf_dir):
+    """G.711 μ-law decode with a FULL SQL oracle: the expansion is
+    closed-form integer arithmetic (u = 255−code; mag = (8·(u%16)+132)·
+    2^((u//16)%8) − 132; sign from u's top bit — ITU-T G.711, pinned
+    bit-exact vs audioop in tests), so DuckDB re-derives every decoded
+    sample. Spark side runs the REAL pipeline: deterministic code bytes
+    → RIFF container with format tag 7 (functions/g711.wav_encode_g711)
+    → binary column → mapInPandas decode through the same parse_wav the
+    production operator uses → signal statistics."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.g711 import wav_encode_g711
+    from blockchainspider_spark.operators.multimodal import decode_audio
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 10).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"audio_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 600 + did
+                i = np.arange(n, dtype=np.int64)
+                codes = ((i * 97 + did) % 256).astype(np.uint8).tobytes()
+                out["audio_id"].append(f"ul-{did}")
+                out["bytes"].append(wav_encode_g711(codes, 8000, 7))
+                out["fmt"].append("wav")
+            yield pd.DataFrame(out)
+
+    audio = d.mapInPandas(build, "audio_id string, bytes binary, fmt string")
+    feats = decode_audio(audio)
+    return feats.select(
+        "audio_id", "sample_rate", "n_channels", "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+def q_mm_audio_g711_sql():
+    # decoded sample for code c: u = 255-c; e=(u//16)%8; m=u%16;
+    # mag=(8m+132)*2^e-132; value = -mag if u>=128 else mag
+    return """
+    WITH per AS (
+      SELECT doc_id, list_transform(range(0, 600 + doc_id), i ->
+        CASE WHEN (255 - (i * 97 + doc_id) % 256) >= 128
+             THEN -(((255 - (i * 97 + doc_id) % 256) % 16 * 8 + 132)
+                    * CAST(POW(2, ((255 - (i * 97 + doc_id) % 256) // 16) % 8) AS BIGINT) - 132)
+             ELSE  (((255 - (i * 97 + doc_id) % 256) % 16 * 8 + 132)
+                    * CAST(POW(2, ((255 - (i * 97 + doc_id) % 256) // 16) % 8) AS BIGINT) - 132)
+        END) AS vals
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT 'ul-' || CAST(doc_id AS VARCHAR) AS audio_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(600 + doc_id AS BIGINT) AS n_samples,
+           ROUND(sqrt(list_sum(list_transform(vals, v -> POW(v / 32768.0, 2)))
+                 / (600 + doc_id)), 6) AS rms,
+           ROUND(list_max(list_transform(vals, v -> ABS(v) / 32768.0)), 6) AS peak
+    FROM per
+    """
+
+
 def q_x4_dcfg_tracer_roundtrip(spark, sf_dir):
     """X4 round trip: the embedded-JS DCFG tracer as a fetch-request
     PARAMETER (request construction: gas>21000 filter → JSON-RPC POST
