@@ -108,12 +108,25 @@ def make_raw_video(frames: list[np.ndarray]) -> bytes:
 
 
 def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
-    """Frame sampling over the synthetic raw container; one output row
-    per sampled frame. Real codecs would slot into ``_iter_frames``."""
+    """Frame sampling: one output row per sampled frame. REAL for
+    uncompressed AVI (RIFF 'AVI ' with BI_RGB 'DIB ' frames — a
+    container format, no codec needed: functions/avicodec.py) and for
+    the synthetic 'RAWV' test container; compressed codecs (h264,
+    mjpg, …) refuse loudly via AviError."""
 
     def _iter_frames(data: bytes):
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            from blockchainspider_spark.functions.avicodec import parse_avi
+
+            _fps, w, h, frames = parse_avi(data)
+            for i, frame in enumerate(frames):
+                yield i, w, h, frame
+            return
         if data[:4] != b"RAWV":
-            raise NotImplementedError("real video codecs not available in this container")
+            raise NotImplementedError(
+                "only uncompressed AVI (BI_RGB) and RAWV decode in this "
+                "container (no video codec library present)"
+            )
         w, h, n = struct.unpack(">HHI", data[4:12])
         frame_sz = w * h * 3
         for i in range(n):

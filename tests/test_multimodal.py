@@ -128,3 +128,41 @@ def test_decode_audio_g711_wav(spark):
     bad = pd.DataFrame({"audio_id": ["b"], "bytes": [wav_bad], "fmt": ["wav"]})
     with _pytest.raises(Exception, match="format tag 2"):
         decode_audio(spark.createDataFrame(bad)).collect()
+
+
+def test_avi_roundtrip_and_spark_sampling(spark):
+    """Uncompressed AVI is a container, not a codec: encode RGB frames
+    → parse back bit-exactly (incl. the bottom-up BGR row order and
+    4-byte row padding for a non-multiple-of-4 width), then sample
+    frames through the Spark operator; compressed fourccs refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from blockchainspider_spark.functions.avicodec import (
+        AviError,
+        avi_encode,
+        parse_avi,
+    )
+    from blockchainspider_spark.functions.imagecodec import png_decode
+    from blockchainspider_spark.operators.multimodal import sample_frames
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(5)]
+    data = avi_encode(frames, fps=10)
+    fps, w, h, got = parse_avi(data)
+    assert (fps, w, h, len(got)) == (10.0, 5, 6, 5)
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+
+    vids = pd.DataFrame({"video_id": ["v1"], "bytes": [data]})
+    out = sample_frames(spark.createDataFrame(vids), every_k=2).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 2, 4]
+    for r in out:
+        assert (png_decode(bytes(r.bytes)) == frames[r.frame_idx]).all()
+
+    bad = bytearray(data)
+    # flip biCompression in strf to a nonzero fourcc value
+    idx = data.find(b"strf")
+    bad[idx + 8 + 16:idx + 8 + 20] = (875967048).to_bytes(4, "little")  # 'H264'
+    with _pytest.raises((AviError, Exception), match="compression"):
+        parse_avi(bytes(bad))
