@@ -1036,6 +1036,82 @@ def q_mm_audio_features_sql():
     """
 
 
+def q_mm_video_avi(spark, sf_dir):
+    """Video frame-sampling with a FULL SQL oracle, through the real
+    container path end-to-end: deterministic 4×4 RGB frames (pixel
+    (y,x,c) of frame f for doc d = (y·31 + x·7 + c·13 + f·97 + d) mod
+    256 — closed-form, so DuckDB re-derives every pixel) → REAL
+    uncompressed-AVI encode (functions/avicodec.py, BI_RGB bottom-up
+    BGR rows) → sample_frames (RIFF parse, every_k=2) → PNG frame
+    bytes → image_features decode → per-frame channel means. Exercises
+    the avi encoder+parser, the sampler, the png round trip, and the
+    image-feature kernel in one oracled row."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.avicodec import avi_encode
+    from blockchainspider_spark.operators.multimodal import image_features, sample_frames
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 8).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"video_id": [], "bytes": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y, x, c = np.meshgrid(np.arange(4), np.arange(4), np.arange(3),
+                                      indexing="ij")
+                frames = [
+                    ((y * 31 + x * 7 + c * 13 + f * 97 + did) % 256).astype(np.uint8)
+                    for f in range(4)
+                ]
+                out["video_id"].append(f"vid-{did}")
+                out["bytes"].append(avi_encode(frames, fps=10))
+            yield pd.DataFrame(out)
+
+    vids = d.mapInPandas(build, "video_id string, bytes binary")
+    frames = sample_frames(vids, every_k=2)     # frame_idx 0 and 2
+    feats = image_features(
+        frames.select(
+            F.concat_ws("#", "video_id", F.col("frame_idx").cast("string"))
+            .alias("image_id"),
+            "bytes", F.lit("png").alias("fmt"),
+        )
+    )
+    return feats.select(
+        F.col("image_id").alias("frame_key"), "w", "h",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+def q_mm_video_avi_sql():
+    # mean over the 4×4 grid of ((y*31 + x*7 + c*13 + f*97 + d) % 256)
+    # per channel c, frames f ∈ {0, 2}
+    return """
+    WITH f AS (SELECT unnest([0, 2]) AS fidx),
+    px AS (
+      SELECT d.doc_id, f.fidx, c.c,
+             avg(CAST((y.y * 31 + x.x * 7 + c.c * 13 + f.fidx * 97 + d.doc_id) % 256
+                 AS DOUBLE)) AS m
+      FROM documents d, f,
+           (SELECT unnest(range(0, 4)) AS y) y,
+           (SELECT unnest(range(0, 4)) AS x) x,
+           (SELECT unnest(range(0, 3)) AS c) c
+      WHERE d.doc_id < 8
+      GROUP BY d.doc_id, f.fidx, c.c
+    )
+    SELECT 'vid-' || CAST(doc_id AS VARCHAR) || '#' || CAST(fidx AS VARCHAR)
+             AS frame_key,
+           CAST(4 AS INTEGER) AS w, CAST(4 AS INTEGER) AS h,
+           ROUND(max(CASE WHEN c = 0 THEN m END), 6) AS mean_r,
+           ROUND(max(CASE WHEN c = 1 THEN m END), 6) AS mean_g,
+           ROUND(max(CASE WHEN c = 2 THEN m END), 6) AS mean_b
+    FROM px GROUP BY doc_id, fidx
+    """
+
+
 def q_mm_audio_g711(spark, sf_dir):
     """G.711 μ-law decode with a FULL SQL oracle: the expansion is
     closed-form integer arithmetic (u = 255−code; mag = (8·(u%16)+132)·
