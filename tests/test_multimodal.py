@@ -166,3 +166,43 @@ def test_avi_roundtrip_and_spark_sampling(spark):
     bad[idx + 8 + 16:idx + 8 + 20] = (875967048).to_bytes(4, "little")  # 'H264'
     with _pytest.raises((AviError, Exception), match="compression"):
         parse_avi(bytes(bad))
+
+
+def test_g711_encode_decode_fixpoint():
+    """ulaw_encode is the nearest-level inverse: re-encoding a decoded
+    signal reproduces the same decoded VALUES for all 256 codes (bytes
+    may differ where two codes share a level, e.g. 0x7f/0xff both
+    decode to 0)."""
+    import numpy as np
+
+    from blockchainspider_spark.functions.g711 import ulaw_decode, ulaw_encode
+
+    codes = bytes(range(256))
+    vals = ulaw_decode(codes)
+    again = ulaw_decode(ulaw_encode(vals))
+    assert (again == vals).all()
+    # and arbitrary int16 signals decode within the G.711 quantization
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(2000) * 12000).astype(np.int16)
+    err = np.abs(ulaw_decode(ulaw_encode(x)).astype(np.int32) - x.astype(np.int32))
+    # μ-law step at the top segment is 1024; half-step rounding error
+    assert err.max() <= 512, err.max()
+
+
+def test_decode_audio_alaw_wav(spark):
+    """A-law (format tag 6) also decodes through the Spark operator."""
+    import numpy as np
+
+    from blockchainspider_spark.functions.g711 import alaw_decode, wav_encode_g711
+    from blockchainspider_spark.operators.multimodal import decode_audio
+
+    codes = bytes((i * 37 + 5) % 256 for i in range(400))
+    pdf = pd.DataFrame({
+        "audio_id": ["a"], "bytes": [wav_encode_g711(codes, 16000, 6)],
+        "fmt": ["wav"],
+    })
+    out = decode_audio(spark.createDataFrame(pdf)).collect()[0]
+    x = alaw_decode(codes).astype(np.float64) / 32768.0
+    assert out.sample_rate == 16000 and out.n_samples == 400
+    assert abs(out.rms - np.sqrt((x * x).mean())) < 1e-12
+    assert abs(out.peak - np.abs(x).max()) < 1e-12
