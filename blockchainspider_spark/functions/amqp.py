@@ -40,6 +40,7 @@ METH_CONN_TUNE, METH_CONN_TUNE_OK = 30, 31
 METH_CONN_OPEN, METH_CONN_OPEN_OK = 40, 41
 METH_CONN_CLOSE, METH_CONN_CLOSE_OK = 50, 51
 METH_CHAN_OPEN, METH_CHAN_OPEN_OK = 10, 11
+METH_CHAN_CLOSE, METH_CHAN_CLOSE_OK = 40, 41
 METH_BASIC_PUBLISH = 40
 
 
@@ -86,12 +87,29 @@ def read_frame(sock: socket.socket) -> tuple[int, int, bytes]:
     return ftype, channel, payload
 
 
+def _raise_broker_close(cid: int, mid: int, args: bytes) -> None:
+    """Channel.Close / Connection.Close args: reply-code (short),
+    reply-text (shortstr), offending class-id + method-id. Surface the
+    broker's own words instead of a method-mismatch error."""
+    (reply_code,) = struct.unpack_from(">H", args, 0)
+    tlen = args[2]
+    reply_text = args[3:3 + tlen].decode("utf-8", "replace")
+    fcid, fmid = struct.unpack_from(">HH", args, 3 + tlen)
+    scope = "connection" if cid == CLASS_CONNECTION else "channel"
+    raise AmqpError(
+        f"broker closed the {scope}: reply-code={reply_code} "
+        f"reply-text={reply_text!r} (offending method {fcid}.{fmid})"
+    )
+
+
 def _expect_method(sock: socket.socket, class_id: int, method_id: int) -> bytes:
     ftype, _chan, payload = read_frame(sock)
     if ftype != FRAME_METHOD:
         raise AmqpError(f"expected method frame, got type {ftype}")
     cid, mid = struct.unpack_from(">HH", payload, 0)
     if (cid, mid) != (class_id, method_id):
+        if (cid, mid) in ((CLASS_CONNECTION, METH_CONN_CLOSE), (CLASS_CHANNEL, METH_CHAN_CLOSE)):
+            _raise_broker_close(cid, mid, payload[4:])
         raise AmqpError(f"expected method {class_id}.{method_id}, got {cid}.{mid}")
     return payload[4:]
 
@@ -129,10 +147,32 @@ class AmqpPublisher:
             self.sock.close()
             raise
 
+    def _poll_broker_frames(self) -> None:
+        """Drain any broker-initiated frames without blocking. Publish
+        is async in AMQP, so an error (e.g. publish to a nonexistent
+        exchange) arrives as an unsolicited Channel.Close/
+        Connection.Close — surface it here with the broker's
+        reply-code/reply-text instead of dropping later messages
+        silently and failing confusingly at close()."""
+        import select
+
+        while True:
+            readable, _, _ = select.select([self.sock], [], [], 0)
+            if not readable:
+                return
+            ftype, _chan, payload = read_frame(self.sock)
+            if ftype != FRAME_METHOD:
+                continue  # stray heartbeat/body frame: ignore
+            cid, mid = struct.unpack_from(">HH", payload, 0)
+            if (cid, mid) in ((CLASS_CONNECTION, METH_CONN_CLOSE), (CLASS_CHANNEL, METH_CHAN_CLOSE)):
+                _raise_broker_close(cid, mid, payload[4:])
+
     def publish(self, exchange: str, routing_key: str, body: bytes,
                 content_type: str = "application/json") -> None:
         """Basic.Publish: method frame, content header (content-type +
-        delivery-mode 2 = persistent), body split at frame-max."""
+        delivery-mode 2 = persistent), body split at frame-max. Checks
+        for pending broker-initiated Close frames first."""
+        self._poll_broker_frames()
         self.sock.sendall(_method(
             1, CLASS_BASIC, METH_BASIC_PUBLISH,
             struct.pack(">H", 0) + _shortstr(exchange) + _shortstr(routing_key)
@@ -148,6 +188,7 @@ class AmqpPublisher:
 
     def close(self) -> None:
         try:
+            self._poll_broker_frames()  # surface a pending async Close first
             self.sock.sendall(_method(
                 0, CLASS_CONNECTION, METH_CONN_CLOSE,
                 struct.pack(">H", 0) + _shortstr("") + struct.pack(">HH", 0, 0)))

@@ -43,6 +43,12 @@ def parse_avi(data: bytes):
     rate, scale, bitcount, compression = 25, 1, None, None
     movi_span = None
 
+    # strf chunks carry a per-stream format struct (BITMAPINFOHEADER for
+    # 'vids', WAVEFORMATEX for 'auds'): only parse the one whose
+    # preceding strh declared a video stream, or an audio stream's
+    # WAVEFORMATEX fields would clobber bitcount/compression.
+    cur_stream_type = [None]
+
     def walk(start: int, end: int):
         nonlocal width, height, rate, scale, bitcount, compression, movi_span
         for cid, off, clen in _chunks(data, start, end):
@@ -55,10 +61,10 @@ def parse_avi(data: bytes):
             elif cid == b"avih":
                 width, height = struct.unpack_from("<II", data, off + 32)
             elif cid == b"strh":
-                fcc_type = data[off:off + 4]
-                if fcc_type == b"vids":
+                cur_stream_type[0] = data[off:off + 4]
+                if cur_stream_type[0] == b"vids":
                     scale, rate = struct.unpack_from("<II", data, off + 20)
-            elif cid == b"strf":
+            elif cid == b"strf" and cur_stream_type[0] == b"vids":
                 # BITMAPINFOHEADER
                 bitcount, = struct.unpack_from("<H", data, off + 14)
                 compression, = struct.unpack_from("<I", data, off + 16)

@@ -60,6 +60,9 @@ def copy_escape(v) -> str:
     newline, carriage return (the documented text-format grammar)."""
     if v is None:
         return "\\N"
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        # BYTEA hex input format — str() would emit the Python repr
+        return "\\\\x" + bytes(v).hex()
     s = str(v)
     return (s.replace("\\", "\\\\").replace("\t", "\\t")
             .replace("\n", "\\n").replace("\r", "\\r"))

@@ -86,7 +86,15 @@ def socks5_connect(
         if method != _METHOD_NO_AUTH:
             raise Socks5Error(f"proxy demands auth method {method:#x}; only no-auth supported")
         # request: VER CMD RSV ATYP DST.ADDR DST.PORT
-        host_b = dest_host.encode("idna") if dest_host.isascii() else dest_host.encode()
+        # ASCII names go on the wire as-is; internationalized names get
+        # IDNA (punycode) encoding — that's the form proxies/Tor resolve.
+        if dest_host.isascii():
+            host_b = dest_host.encode("ascii")
+        else:
+            try:
+                host_b = dest_host.encode("idna")
+            except UnicodeError as exc:
+                raise Socks5Error(f"hostname {dest_host!r} not IDNA-encodable: {exc}") from exc
         if len(host_b) > 255:
             raise Socks5Error("destination hostname longer than 255 bytes")
         req = bytes([SOCKS_VERSION, _CMD_CONNECT, 0x00, _ATYP_DOMAIN, len(host_b)])
@@ -153,6 +161,17 @@ def http_get_over_socks5(
         for ln in lines[1:]:
             k, _, v = ln.partition(b":")
             headers[k.strip().lower()] = v.strip()
+        encoding = headers.get(b"transfer-encoding", b"").lower()
+        if encoding and encoding != b"identity":
+            if encoding != b"chunked":
+                raise Socks5Error(f"unsupported transfer-encoding {encoding!r}")
+            # chunked body: read to EOF (Connection: close), then de-chunk
+            while len(body) < max_body:
+                chunk = sock.recv(65536)
+                if not chunk:
+                    break
+                body += chunk
+            return status, _dechunk(body)
         want = int(headers.get(b"content-length", -1))
         while (want < 0 or len(body) < want) and len(body) < max_body:
             chunk = sock.recv(65536)
@@ -162,6 +181,32 @@ def http_get_over_socks5(
         return status, body[:want] if want >= 0 else body
     finally:
         sock.close()
+
+
+def _dechunk(raw: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked body (RFC 9112 §7.1): hex-size line,
+    CRLF, chunk data, CRLF, ... terminated by a 0-size chunk. Trailer
+    headers after the last chunk are discarded. Malformed framing
+    raises rather than returning framing bytes as payload."""
+    out, pos = [], 0
+    while True:
+        nl = raw.find(b"\r\n", pos)
+        if nl < 0:
+            raise Socks5Error("truncated chunked body: missing chunk-size line")
+        size_token = raw[pos:nl].split(b";", 1)[0].strip()  # drop chunk extensions
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise Socks5Error(f"malformed chunk size {size_token!r}") from None
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        if pos + size + 2 > len(raw):
+            raise Socks5Error("truncated chunked body: chunk data cut short")
+        out.append(raw[pos:pos + size])
+        if raw[pos + size:pos + size + 2] != b"\r\n":
+            raise Socks5Error("malformed chunked body: missing data CRLF")
+        pos += size + 2
 
 
 FETCH_SCHEMA = "url string, status int, body binary, err string"

@@ -68,6 +68,14 @@ class _Broker(socketserver.BaseRequestHandler):
             elen = payload[off]; exchange = payload[off + 1:off + 1 + elen].decode()
             off += 1 + elen
             klen = payload[off]; rkey = payload[off + 1:off + 1 + klen].decode()
+            if exchange == "missing":
+                # a real broker answers a publish to a nonexistent
+                # exchange with an async Channel.Close (404)
+                txt = b"NOT_FOUND - no exchange 'missing' in vhost '/'"
+                s.sendall(_method(1, CLASS_CHANNEL, 40,
+                                  struct.pack(">H", 404) + bytes([len(txt)]) + txt
+                                  + struct.pack(">HH", CLASS_BASIC, 40)))
+                return
             # content header
             ftype, chan, payload = read_frame(s)
             assert ftype == FRAME_HEADER and chan == 1
@@ -106,6 +114,25 @@ def test_negotiate_publish_close(broker):
         ("txs", "eth.LabelItem", "application/json", 2, 10_000),
     ]
     assert srv.published[1][4] == b"x" * 10_000  # reassembled intact
+
+
+def test_async_channel_close_surfaces_broker_reply(broker):
+    """Publish is fire-and-forget; a broker-initiated Channel.Close
+    (404 unknown exchange) must surface on the NEXT publish with the
+    broker's reply-code/text — not silently drop messages until a
+    confusing method mismatch at close()."""
+    import time
+
+    port, _ = broker
+    pub = AmqpPublisher("127.0.0.1", port)
+    pub.publish("missing", "eth.TransferItem", b"{}")  # triggers async Close
+    deadline = time.time() + 5
+    with pytest.raises(AmqpError, match=r"reply-code=404.*no exchange 'missing'"):
+        while time.time() < deadline:
+            pub.publish("missing", "eth.TransferItem", b"{}")
+            time.sleep(0.05)
+        raise AssertionError("broker Close never surfaced")
+    pub.sock.close()
 
 
 def test_non_amqp_peer_rejected(broker):

@@ -168,6 +168,45 @@ def test_avi_roundtrip_and_spark_sampling(spark):
         parse_avi(bytes(bad))
 
 
+def test_avi_with_audio_stream_still_decodes():
+    """A valid BI_RGB video + PCM audio AVI must decode: the audio
+    stream's strf is a WAVEFORMATEX whose fields at BITMAPINFOHEADER
+    offsets would otherwise clobber bitcount/compression and wrongly
+    reject the file."""
+    import struct
+
+    import numpy as np
+
+    from blockchainspider_spark.functions.avicodec import avi_encode, parse_avi
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (4, 3, 3), dtype=np.uint8) for _ in range(3)]
+    data = avi_encode(frames, fps=10)
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    # audio strl: strh('auds') + strf(WAVEFORMATEX: PCM mono 8 kHz 16-bit)
+    strh = (b"auds" + b"\x00" * 4
+            + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 0, 0, 0, 0, 0)
+            + struct.pack("<HHHH", 0, 0, 0, 0))
+    strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    strl_list = b"LIST" + struct.pack("<I", len(strl)) + strl
+
+    i = data.find(b"hdrl")
+    (hdrl_size,) = struct.unpack_from("<I", data, i - 4)
+    out = bytearray(data)
+    out[i + hdrl_size:i + hdrl_size] = strl_list       # append inside hdrl
+    struct.pack_into("<I", out, i - 4, hdrl_size + len(strl_list))
+    struct.pack_into("<I", out, 4, len(out) - 8)       # RIFF size
+
+    fps, w, h, got = parse_avi(bytes(out))
+    assert (fps, w, h, len(got)) == (10.0, 3, 4, 3)
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+
+
 def test_g711_encode_decode_fixpoint():
     """ulaw_encode is the nearest-level inverse: re-encoding a decoded
     signal reproduces the same decoded VALUES for all 256 codes (bytes

@@ -98,6 +98,11 @@ def test_startup_auth_query_copy(backend):
 def test_copy_escape_grammar():
     assert copy_escape(None) == "\\N"
     assert copy_escape("a\tb\nc\rd\\e") == "a\\tb\\nc\\rd\\\\e"
+    # binary values go as PostgreSQL hex-format bytea, not the Python
+    # repr: field text \x0a1b (escaped backslash on the COPY wire)
+    assert copy_escape(b"\x0a\x1b") == "\\\\x0a1b"
+    assert copy_escape(bytearray(b"\xff")) == "\\\\xff"
+    assert copy_escape(memoryview(b"\x00")) == "\\\\x00"
 
 
 def test_dead_port_raises():

@@ -21,6 +21,17 @@ from blockchainspider_spark.functions.socks5 import (
 
 class _Http(http.server.BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 — stdlib handler name
+        if self.path.startswith("/chunked"):
+            # hand-rolled chunked framing (with a chunk extension) so the
+            # client's de-chunker is exercised against real RFC 9112 bytes
+            self.send_response(200)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            self.wfile.write(b"6\r\nhello:\r\n")
+            tail = self.path.encode()
+            self.wfile.write(b"%x;ext=1\r\n%s\r\n" % (len(tail), tail))
+            self.wfile.write(b"0\r\nX-Trailer: t\r\n\r\n")
+            return
         body = f"hello:{self.path}".encode()
         self.send_response(200)
         self.send_header("Content-Length", str(len(body)))
@@ -110,6 +121,46 @@ def test_http_get_through_tunnel(loopback):
         f"http://127.0.0.1:{http_port}/page1", ("127.0.0.1", socks_port))
     assert status == 200
     assert body == b"hello:/page1"
+
+
+def test_chunked_transfer_encoding_dechunked(loopback):
+    http_port, socks_port, _ = loopback
+    status, body = http_get_over_socks5(
+        f"http://127.0.0.1:{http_port}/chunked/a", ("127.0.0.1", socks_port))
+    assert status == 200
+    # framing bytes (hex sizes, CRLFs, extension, trailer) must NOT leak
+    assert body == b"hello:/chunked/a"
+
+
+def test_dechunk_rejects_malformed_framing():
+    from blockchainspider_spark.functions.socks5 import _dechunk
+
+    assert _dechunk(b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+    with pytest.raises(Socks5Error, match="chunk size"):
+        _dechunk(b"zz\r\nabc\r\n0\r\n\r\n")
+    with pytest.raises(Socks5Error, match="cut short"):
+        _dechunk(b"10\r\nabc\r\n")
+    with pytest.raises(Socks5Error, match="missing data CRLF"):
+        _dechunk(b"3\r\nabcXX0\r\n\r\n")
+
+
+def test_idna_hostname_goes_as_punycode(loopback):
+    _, socks_port, socksd = loopback
+    # the proxy can't resolve it (refused reply), but the DOMAIN field
+    # must carry the IDNA (punycode) form — raw UTF-8 is unresolvable
+    with pytest.raises(Socks5Error):
+        socks5_connect("127.0.0.1", socks_port, "bücher.example", 80)
+    atyp, host, _ = socksd.connects[-1]
+    assert (atyp, host) == (3, "xn--bcher-kva.example")
+
+
+def test_ascii_hostname_bypasses_idna_codec(loopback):
+    _, socks_port, socksd = loopback
+    # '_' is rejected by the idna codec but is a legal-enough DNS label
+    # in the wild — ASCII names must pass through verbatim
+    with pytest.raises(Socks5Error):
+        socks5_connect("127.0.0.1", socks_port, "my_host.example", 80)
+    assert socksd.connects[-1][1] == "my_host.example"
 
 
 def test_connect_refused_maps_to_rfc_name(loopback):
