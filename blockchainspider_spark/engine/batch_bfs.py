@@ -372,27 +372,39 @@ class BfsWaveEngine:
 
     # ------------------------------------------------------------------ run
 
+    def _compact_df(self, df: DataFrame, name: str) -> DataFrame:
+        """Rewrite an accumulated union chain flat: parquet out, read
+        back — one scan node replaces N union branches in the plan."""
+        d = os.path.join(self._work_dir, name)
+        df.write.mode("overwrite").parquet(d)
+        return self.spark.read.parquet(d)
+
     def run(self, source: str, collect_transfers: bool = True):
         state = self.start(source)
-        emitted_waves: list[DataFrame] = []
-        fetched_waves: list[DataFrame] = []
+        all_emitted: DataFrame | None = None
+        all_fetched: DataFrame | None = None
         while state.frontier_size > 0 and state.wave <= self.max_depth:
             state, emitted, fetched = self.run_wave(state)
             if collect_transfers:
-                emitted_waves.append(emitted)
+                all_emitted = (emitted if all_emitted is None
+                               else all_emitted.unionByName(emitted))
             if fetched is not None:
-                fetched_waves.append(fetched)
-        all_emitted = None
-        if emitted_waves:
-            all_emitted = emitted_waves[0]
-            for df in emitted_waves[1:]:
-                all_emitted = all_emitted.unionByName(df)
+                all_fetched = (fetched if all_fetched is None
+                               else all_fetched.unionByName(fetched))
+            # plan hygiene (same cadence as the seen compaction): the
+            # emitted/fetched unions gain one branch per wave; a 100-wave
+            # crawl would otherwise blow up Catalyst analysis. Rewriting
+            # also pins the fetch kernel's results instead of re-running
+            # them at final materialization.
+            if state.wave % self.seen_compact_every == 0:
+                if all_emitted is not None:
+                    all_emitted = self._compact_df(
+                        all_emitted, f"emitted_compact_{state.wave:05d}")
+                if all_fetched is not None:
+                    all_fetched = self._compact_df(
+                        all_fetched, f"fetched_compact_{state.wave:05d}")
+        if all_emitted is not None:
             all_emitted = all_emitted.dropDuplicates(["id"])
-        all_fetched = None
-        if fetched_waves:
-            all_fetched = fetched_waves[0]
-            for df in fetched_waves[1:]:
-                all_fetched = all_fetched.unionByName(df)
         return state, all_emitted, all_fetched
 
     # ------------------------------------------------------------------ checkpoint / resume

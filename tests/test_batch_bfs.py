@@ -126,6 +126,44 @@ def test_seen_compaction_on_deep_crawl(spark):
     assert got.next_seq == 13  # the whole chain was reached
 
 
+def test_emitted_compaction_bounds_plan_depth(spark):
+    """The per-wave emitted-transfers union compacts on the same cadence
+    as seen: a 20-wave crawl's emitted plan stays O(compact interval)
+    union branches deep instead of one per wave, and the final
+    transfer set is unchanged."""
+    import pandas as pd
+
+    n = 20
+    chain = pd.DataFrame({
+        "id": [f"e{i}" for i in range(n)],
+        "hash": "0xh",
+        "address_from": [f"0xn{i}" for i in range(n)],
+        "address_to": [f"0xn{i+1}" for i in range(n)],
+        "value": "1", "token_id": "",
+        "timestamp": range(n), "block_number": range(n),
+        "contract_address": "0x" + "0" * 40, "symbol": "native",
+        "decimals": 18, "gas": "0", "gas_price": "0",
+    })
+    edges = spark.createDataFrame(chain)
+    compacting = BfsWaveEngine(spark, edges, max_depth=n)
+    compacting.seen_compact_every = 4
+    _, got_emitted, _ = compacting.run("0xn0")
+    plain = BfsWaveEngine(spark, edges, max_depth=n)
+    plain.seen_compact_every = 10_000  # effectively off
+    _, want_emitted, _ = plain.run("0xn0")
+
+    got_plan = got_emitted._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    want_plan = want_emitted._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    # the compacted plan is one parquet scan plus at most the waves run
+    # since the last compaction (here: the trailing empty-frontier wave
+    # 21); the plain engine accumulated one branch per wave
+    assert got_plan.count("Relation") <= compacting.seen_compact_every + 1
+    assert want_plan.count("Relation") >= n
+    assert ({r.id for r in got_emitted.select("id").collect()}
+            == {r.id for r in want_emitted.select("id").collect()}
+            == {f"e{i}" for i in range(n)})
+
+
 def test_checkpoint_resume(spark, edges_df, images_df, source, oracle_result, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     engine = BfsWaveEngine(spark, edges_df, images=images_df, max_depth=2, checkpoint_dir=ckpt)
