@@ -519,6 +519,17 @@ class VecTtrRedirect(VecStrategy):
         if node == self.source and not self._seeded:
             self._seed(batch)
             return
+        self.push_swaps(node, self._aggregate(node, batch))
+
+    def push_swaps(self, node, swaps: list["_EngineSwap"]) -> None:
+        """Distribute pre-netted swaps for ``node`` — the tail of
+        ``push`` after J8 netting. Split out so the wave engine's hub
+        path can net a huge edge slice distributed (per hash bucket)
+        and hand only the surviving swap legs to this sequential core.
+        ``swaps`` must be in hash first-(re)creation scan order; the
+        stable timestamp sort below then reproduces the reference's
+        ordering exactly."""
+        self._chips_of(node)
         chips_d = self.chips[node]
         self.chips[node] = {}
         # stable ts sort keeps first-appearance order among equal stamps
@@ -527,7 +538,6 @@ class VecTtrRedirect(VecStrategy):
             np.array([node], dtype=object),
             np.array([self.alpha * sum(v for _, v in c_items)]),
         )
-        swaps = self._aggregate(node, batch)
         swaps.sort(key=lambda s: s.timestamp())
         self._distribute(node, swaps, c_items, forward=True)
         self._distribute(node, swaps, c_items, forward=False)

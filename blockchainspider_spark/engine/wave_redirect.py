@@ -47,7 +47,188 @@ REDIRECT_META_SCHEMA = (
     "node string, p double, fk struct<wave:long,pseq:long,slot:long>"
 )
 _PUSH_OUT_SCHEMA = "node string, symbol string, ts long, val double, pseq long, slot long"
+# stage-A output of the hub path: one row per surviving netted swap leg.
+# (cbn, cts, cid) is the (block, ts, id) triple of the edge that last
+# (re)created the hash's legs dict — sorting on it reproduces the
+# sequential scan's hash insertion order exactly; `ord` orders legs
+# within a swap (newest first, the reference's reversed-items order).
+_NET_SCHEMA = ("_node string, _pseq long, cbn long, cts long, cid string, "
+               "ord long, cp string, value double, ts long, symbol string")
+# stage-B input: netted legs ∪ the popped hub's chips, one group per node
+_HUB_IN_SCHEMA = ("_node string, _pseq long, _kind string, symbol string, "
+                  "ts long, cval double, cbn long, cts long, cid string, "
+                  "ord long, cp string, value double")
 _MAX_TS = (1 << 63) - 1  # sys.maxsize — the reference's in-sentinel stamp
+
+
+def _emit_model_chips(model, pseq: int):
+    """Shared kernel tail: flatten the strategy's chips dict to the
+    push-output rows, slot = the node's insertion position in the dict
+    (= the sequential pop tiebreak)."""
+    import pandas as pd
+
+    out = {"node": [], "symbol": [], "ts": [], "val": [], "pseq": [], "slot": []}
+    for slot, (n, chips_d) in enumerate(model.chips.items()):
+        for (sym, ts), v in chips_d.items():
+            out["node"].append(n)
+            out["symbol"].append(sym)
+            out["ts"].append(int(ts))
+            out["val"].append(float(v))
+            out["pseq"].append(pseq)
+            out["slot"].append(slot)
+    return pd.DataFrame({
+        "node": pd.Series(out["node"], dtype=object),
+        "symbol": pd.Series(out["symbol"], dtype=object),
+        "ts": pd.Series(out["ts"], dtype="int64"),
+        "val": pd.Series(out["val"], dtype="float64"),
+        "pseq": pd.Series(out["pseq"], dtype="int64"),
+        "slot": pd.Series(out["slot"], dtype="int64"),
+    })
+
+
+def _netting_kernel():
+    """Stage A of the hub push: J8 netting over ONE (node, hash-bucket)
+    slice. The reference's per-hash move-to-end + sign-flip-timestamp
+    fold (strategies/txs/ttr.py:540-583) only reads edges of a single
+    hash in scan order, so bucketing by hash distributes the O(E)
+    Python loop that otherwise makes a popped hub a single-task
+    straggler. Emits each surviving leg with its swap's creation triple
+    so stage B can reassemble the exact sequential swap order."""
+
+    def kernel(pdf):
+        import pandas as pd
+
+        node = pdf["_node"].iloc[0]
+        pseq = int(pdf["_pseq"].iloc[0])
+        ed = pdf.sort_values(["_bn", "timeStamp", "id"], kind="mergesort")
+        frm = ed["from"].to_numpy()
+        to = ed["to"].to_numpy()
+        val = ed["value"].to_numpy(dtype="float64")
+        ts = ed["timeStamp"].to_numpy(dtype="int64")
+        sym = ed["symbol"].to_numpy()
+        hsh = ed["hash"].to_numpy()
+        bn = ed["_bn"].to_numpy(dtype="int64")
+        eid = ed["id"].to_numpy()
+
+        # hash → [legs dict (move-to-end), creation (bn, ts, id)];
+        # deleting on empty and re-creating on a later edge reproduces
+        # the sequential fold's setdefault re-insertion order
+        state: dict = {}
+        for i in range(len(val)):
+            h = hsh[i]
+            st = state.get(h)
+            if st is None:
+                st = [{}, (int(bn[i]), int(ts[i]), str(eid[i]))]
+                state[h] = st
+            legs = st[0]
+            if frm[i] == node:
+                cp, v = to[i], -float(val[i])
+            else:
+                cp, v = frm[i], float(val[i])
+            key = (sym[i], cp)
+            held = legs.pop(key, None)
+            t = int(ts[i])
+            if held is None:
+                if v != 0:
+                    legs[key] = [v, t]
+            else:
+                total = held[0] + v
+                if total != 0:
+                    legs[key] = [total, t if (v > 0) == (total > 0) else held[1]]
+            if not legs:
+                del state[h]
+
+        out = {"cbn": [], "cts": [], "cid": [], "ord": [], "cp": [],
+               "value": [], "ts": [], "symbol": []}
+        for legs, (cbn, cts, cid) in state.values():
+            for o, ((s, cp), (v, t)) in enumerate(reversed(list(legs.items()))):
+                out["cbn"].append(cbn)
+                out["cts"].append(cts)
+                out["cid"].append(cid)
+                out["ord"].append(o)
+                out["cp"].append(cp)
+                out["value"].append(float(v))
+                out["ts"].append(int(t))
+                out["symbol"].append(s)
+        n = len(out["cbn"])
+        return pd.DataFrame({
+            "_node": pd.Series([node] * n, dtype=object),
+            "_pseq": pd.Series([pseq] * n, dtype="int64"),
+            "cbn": pd.Series(out["cbn"], dtype="int64"),
+            "cts": pd.Series(out["cts"], dtype="int64"),
+            "cid": pd.Series(out["cid"], dtype=object),
+            "ord": pd.Series(out["ord"], dtype="int64"),
+            "cp": pd.Series(out["cp"], dtype=object),
+            "value": pd.Series(out["value"], dtype="float64"),
+            "ts": pd.Series(out["ts"], dtype="int64"),
+            "symbol": pd.Series(out["symbol"], dtype=object),
+        })
+
+    return kernel
+
+
+def _hub_walk_kernel(alpha: float, beta: float, epsilon: float,
+                     max_walk_legs: int | None):
+    """Stage B of the hub push: rebuild the node's swaps from the
+    pre-netted legs (hashes in creation-triple order, legs in emitted
+    order) and run the genuinely sequential distribute + A11 walk via
+    the shared ``VecTtrRedirect.push_swaps`` core. Input is netted legs
+    — usually far smaller than the raw edge slice — so the irreducible
+    single-task work is the walk itself; ``max_walk_legs`` is the loud
+    bound on that residue."""
+
+    def kernel(pdf):
+        from blockchainspider_spark.engine.strategies_vec import (
+            VecTtrRedirect,
+            _EngineSwap,
+        )
+        from blockchainspider_spark.functions.redirect_walk import Profit
+
+        node = pdf["_node"].iloc[0]
+        pseq = int(pdf["_pseq"].iloc[0])
+        model = VecTtrRedirect(
+            "\x00-no-source", alpha=alpha, beta=beta, epsilon=epsilon
+        )
+        model._seeded = True  # non-seed push path
+        d = model._chips_of(node)
+        chips_rows = pdf[pdf["_kind"] == "c"].sort_values(
+            ["ts", "symbol"], kind="mergesort"
+        )
+        for sym, t, v in zip(chips_rows["symbol"], chips_rows["ts"],
+                             chips_rows["cval"]):
+            key = (sym, int(t))
+            d[key] = d.get(key, 0.0) + float(v)
+
+        net = pdf[pdf["_kind"] == "n"]
+        if max_walk_legs is not None and len(net) > max_walk_legs:
+            raise RuntimeError(
+                f"popped hub node {node!r} still has {len(net)} netted swap "
+                f"legs after the distributed J8 stage, above "
+                f"max_walk_legs={max_walk_legs}: the A11 walk over them is "
+                "genuinely sequential (cross-symbol stack DFS) and cannot be "
+                "chunked. Raise the cap "
+                "(TtrRedirectWaveEngine(max_walk_legs=...)) after sizing "
+                "executor memory for it, or crawl this graph with the "
+                "sequential ExactCrawlEngine."
+            )
+        net = net.sort_values(["cbn", "cts", "cid", "ord"], kind="mergesort")
+        swaps: list = []
+        cur_key = None
+        cur_profits: list = []
+        for cbn, cts, cid, cp, v, t, s in zip(
+            net["cbn"], net["cts"], net["cid"], net["cp"],
+            net["value"], net["ts"], net["symbol"],
+        ):
+            k = (cbn, cts, cid)
+            if k != cur_key:
+                cur_profits = []
+                swaps.append(_EngineSwap(cur_profits))
+                cur_key = k
+            cur_profits.append(Profit(cp, float(v), int(t), s))
+        model.push_swaps(node, swaps)
+        return _emit_model_chips(model, pseq)
+
+    return kernel
 
 
 @dataclass
@@ -77,17 +258,13 @@ def _push_kernel(alpha: float, beta: float, epsilon: float,
     slot (= the node's insertion position in the strategy's chips dict —
     exactly the sequential pop tiebreak).
 
-    **Hub-node bound (VERDICT r4 perf-weak #1).** The walk is genuinely
-    sequential within a node (SURVEY A11), so a popped hub's whole edge
-    slice lands in ONE Python task. The chip side is already bounded —
-    A10 pre-merges chips per (node, symbol, ts) every wave — but edge
-    degree is data-driven, and a 10^7-edge hub would make this task the
-    wave's straggler. The kernel refuses slices above
-    ``max_push_edges`` with a loud error (checked inside the task: zero
-    extra Spark jobs) naming the node, so at 100-TB scale the operator
-    fails fast with a actionable message (raise the cap after sizing
-    executor memory, or route the hub through the sequential engine)
-    instead of silently stalling the wave."""
+    **Hub-node bound.** Nodes whose touching-edge count exceeds
+    ``max_push_edges`` are routed AROUND this kernel by the engine
+    (two-stage hub path: distributed per-hash-bucket J8 netting, then
+    the sequential walk over only the surviving legs — see
+    ``_netting_kernel`` / ``_hub_walk_kernel``), so the in-task check
+    here is a defensive assertion that the routing held, not the
+    crawl-killing abort it was before round 6."""
 
     def kernel(pdf):
         import numpy as np
@@ -165,11 +342,16 @@ class TtrRedirectWaveEngine:
         work_dir: str | None = None,
         checkpoint_dir: str | None = None,
         max_push_edges: int = 1_000_000,
+        hub_buckets: int = 64,
+        max_walk_legs: int | None = 5_000_000,
     ):
         self.spark = spark
         self.k = int(k)
         self.alpha, self.beta, self.epsilon = float(alpha), float(beta), float(epsilon)
         self.max_push_edges = int(max_push_edges)
+        self.hub_buckets = int(hub_buckets)
+        self.max_walk_legs = max_walk_legs
+        self._hub_nodes: frozenset | None = None
         self._work_dir = work_dir or tempfile.mkdtemp(prefix="redirectwave-")
         self._ckpt = WaveCheckpoint(spark, checkpoint_dir) if checkpoint_dir else None
         adapted = with_symbol_identity(edges).select(
@@ -191,6 +373,22 @@ class TtrRedirectWaveEngine:
         ).persist()
 
     POP_LOG_SCHEMA = "seq long, node string, residual double, wave long"
+
+    def _hub_node_set(self) -> frozenset:
+        """Degree census for hub routing, computed once per engine (on
+        a cluster: the skew census you would persist next to the touch
+        view). Nodes with more than ``max_push_edges`` touching edges
+        are pushed through the two-stage path — distributed J8 netting
+        per hash bucket, then the sequential walk over the surviving
+        legs only — instead of landing their whole raw edge slice in
+        one Python task."""
+        if self._hub_nodes is None:
+            deg = self._touch.groupBy("node").agg(F.count("*").alias("deg"))
+            self._hub_nodes = frozenset(
+                r["node"]
+                for r in deg.where(F.col("deg") > self.max_push_edges).collect()
+            )
+        return self._hub_nodes
 
     def _pop_log(self) -> PopLog:
         return PopLog(
@@ -354,38 +552,95 @@ class TtrRedirectWaveEngine:
                                           on="node", how="leftsemi")
                 rest = st.chips.join(F.broadcast(pop_key.select("node")),
                                      on="node", how="left_anti")
-                edges_part = (
-                    self._touch.join(F.broadcast(pop_key.select("node", "_pseq")),
-                                     on="node", how="inner")
-                    .select(
-                        F.col("node").alias("_node"), "_pseq",
-                        F.lit("e").alias("_kind"),
-                        "id", "hash", "from", "to", "value",
-                        F.col("ts").alias("timeStamp"), "_bn", "symbol",
+                # hub routing: pops above the degree cap take the
+                # two-stage path (distributed netting → walk on netted
+                # legs); everything else takes the one-kernel fast path
+                hubs = self._hub_node_set()
+                pop_hub = ([r["node"] for r in popped.select("node").collect()
+                            if r["node"] in hubs] if hubs else [])
+                parts = []
+                if len(pop_hub) < n_pops:
+                    norm_key = (pop_key.where(~F.col("node").isin(pop_hub))
+                                if pop_hub else pop_key)
+                    edges_part = (
+                        self._touch.join(F.broadcast(norm_key.select("node", "_pseq")),
+                                         on="node", how="inner")
+                        .select(
+                            F.col("node").alias("_node"), "_pseq",
+                            F.lit("e").alias("_kind"),
+                            "id", "hash", "from", "to", "value",
+                            F.col("ts").alias("timeStamp"), "_bn", "symbol",
+                            F.lit(None).cast("double").alias("cval"),
+                        )
+                    )
+                    chips_part = (
+                        chips_pop.join(F.broadcast(norm_key.select("node", "_pseq")),
+                                       on="node", how="inner")
+                        .select(
+                            F.col("node").alias("_node"), "_pseq",
+                            F.lit("c").alias("_kind"),
+                            F.lit("").alias("id"), F.lit("").alias("hash"),
+                            F.lit(None).cast("string").alias("from"),
+                            F.lit(None).cast("string").alias("to"),
+                            F.lit(None).cast("double").alias("value"),
+                            F.col("ts").alias("timeStamp"),
+                            F.lit(0).cast("long").alias("_bn"), "symbol",
+                            F.col("val").alias("cval"),
+                        )
+                    )
+                    parts.append(
+                        edges_part.unionByName(chips_part)
+                        .groupBy("_node")
+                        .applyInPandas(kernel, _PUSH_OUT_SCHEMA)
+                    )
+                if pop_hub:
+                    hub_key = pop_key.where(F.col("node").isin(pop_hub))
+                    netted = (
+                        self._touch.join(F.broadcast(hub_key.select("node", "_pseq")),
+                                         on="node", how="inner")
+                        .select(
+                            F.col("node").alias("_node"), "_pseq",
+                            "id", "hash", "from", "to", "value",
+                            F.col("ts").alias("timeStamp"), "_bn", "symbol",
+                            F.pmod(F.xxhash64("hash"),
+                                   F.lit(self.hub_buckets)).alias("_bucket"),
+                        )
+                        .groupBy("_node", "_bucket")
+                        .applyInPandas(_netting_kernel(), _NET_SCHEMA)
+                    )
+                    net_in = netted.select(
+                        "_node", "_pseq", F.lit("n").alias("_kind"),
+                        "symbol", "ts",
                         F.lit(None).cast("double").alias("cval"),
+                        "cbn", "cts", "cid", "ord", "cp", "value",
                     )
-                )
-                chips_part = (
-                    chips_pop.join(F.broadcast(pop_key.select("node", "_pseq")),
-                                   on="node", how="inner")
-                    .select(
-                        F.col("node").alias("_node"), "_pseq",
-                        F.lit("c").alias("_kind"),
-                        F.lit("").alias("id"), F.lit("").alias("hash"),
-                        F.lit(None).cast("string").alias("from"),
-                        F.lit(None).cast("string").alias("to"),
-                        F.lit(None).cast("double").alias("value"),
-                        F.col("ts").alias("timeStamp"),
-                        F.lit(0).cast("long").alias("_bn"), "symbol",
-                        F.col("val").alias("cval"),
+                    chips_hub = (
+                        chips_pop.join(F.broadcast(hub_key.select("node", "_pseq")),
+                                       on="node", how="inner")
+                        .select(
+                            F.col("node").alias("_node"), "_pseq",
+                            F.lit("c").alias("_kind"),
+                            "symbol", F.col("ts"),
+                            F.col("val").alias("cval"),
+                            F.lit(0).cast("long").alias("cbn"),
+                            F.lit(0).cast("long").alias("cts"),
+                            F.lit("").alias("cid"),
+                            F.lit(0).cast("long").alias("ord"),
+                            F.lit(None).cast("string").alias("cp"),
+                            F.lit(None).cast("double").alias("value"),
+                        )
                     )
-                )
-                pushed = (
-                    edges_part.unionByName(chips_part)
-                    .groupBy("_node")
-                    .applyInPandas(kernel, _PUSH_OUT_SCHEMA)
-                    .localCheckpoint(eager=True)
-                )
+                    walk = _hub_walk_kernel(self.alpha, self.beta,
+                                            self.epsilon, self.max_walk_legs)
+                    parts.append(
+                        net_in.unionByName(chips_hub)
+                        .groupBy("_node")
+                        .applyInPandas(walk, _PUSH_OUT_SCHEMA)
+                    )
+                pushed = parts[0]
+                for extra in parts[1:]:
+                    pushed = pushed.unionByName(extra)
+                pushed = pushed.localCheckpoint(eager=True)
                 new_chips = (
                     rest.unionByName(pushed.select("node", "symbol", "ts", "val"))
                     .groupBy("node", "symbol", "ts")

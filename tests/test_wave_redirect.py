@@ -121,13 +121,13 @@ def test_k1_parity_on_adversarial_graph(spark):
 
 
 def test_hub_node_skew_guard(spark):
-    """VERDICT r4 perf item: a popped hub whose edge slice exceeds
-    ``max_push_edges`` must fail LOUDLY (the A11 walk is sequential
-    within a node, so the hub would otherwise become a single-task
-    straggler at scale) — and a run whose hubs fit the cap completes
-    with per-task edge rows bounded by that documented cap. Star graph:
-    source s feeds hub h, h fans out to 50k leaves; popping h hands the
-    kernel a 50,001-edge slice."""
+    """Round-6 fix of the r4/r5 scale-killer: a popped hub whose edge
+    slice exceeds ``max_push_edges`` no longer aborts the crawl — it is
+    routed through the two-stage push (distributed per-hash-bucket J8
+    netting, then the sequential walk over the surviving legs only) and
+    must produce EXACTLY the same pops and ranks as the one-kernel fast
+    path. Star graph: source s feeds hub h, h fans out to 50k leaves;
+    popping h hands the push a 50,001-edge slice."""
     n_leaves = 50_000
     s, h = "0x" + "e" * 40, "0x" + "f" * 40
     leaves = spark.range(n_leaves).select(
@@ -151,14 +151,141 @@ def test_hub_node_skew_guard(spark):
     edges = feed.unionByName(leaves)
     edges.persist().count()
 
-    # cap below the hub degree: the wave that pops h raises loudly,
-    # naming the node and the cap
+    # cap below the hub degree: h routes through the two-stage path and
+    # the crawl COMPLETES (r5 behavior was a crawl-killing abort)
     tight = TtrRedirectWaveEngine(spark, edges, epsilon=1e-6,
                                   max_push_edges=10_000)
-    with pytest.raises(Exception, match="max_push_edges"):
-        tight.run(s, max_pops=2)
+    routed = tight.run(s, max_pops=2)
+    assert [n for _, n in routed.pop_log] == [s, h]
 
-    # default cap admits the hub: the crawl completes and pops h second
+    # default cap admits the hub through the one-kernel fast path; both
+    # paths agree exactly on pops and surviving chip mass
     ok = TtrRedirectWaveEngine(spark, edges, epsilon=1e-6).run(s, max_pops=2)
     assert [n for _, n in ok.pop_log] == [s, h]
+    assert routed.ranks() == ok.ranks()
+    want_chips = {(r.node, r.symbol, r.ts): r.val for r in ok.chips.collect()}
+    got_chips = {(r.node, r.symbol, r.ts): r.val for r in routed.chips.collect()}
+    assert set(got_chips) == set(want_chips)
+    for key, v in want_chips.items():
+        assert abs(got_chips[key] - v) < 1e-12, key
     edges.unpersist()
+
+
+def test_hub_path_full_parity_on_adversarial_graph(spark):
+    """Force EVERY pop through the two-stage hub path
+    (max_push_edges=0) on the quirk-heavy adversarial graph: pops,
+    ranks, and chips must replay the sequential exact engine — the
+    distributed netting + creation-triple swap reassembly is
+    bit-faithful to the in-kernel fold."""
+    import hashlib
+
+    import pandas as pd
+
+    def edge(i, frm, to, value, ts, hsh, sym):
+        return {
+            "id": "0x" + hashlib.sha1(f"hubadv-{i}".encode()).hexdigest(),
+            "hash": hsh, "address_from": frm, "address_to": to,
+            "value": f"{value:.6f}", "token_id": "",
+            "timestamp": ts, "block_number": 100 + i,
+            "contract_address": "0x" + "0" * 40, "symbol": sym,
+            "decimals": 18, "gas": "0", "gas_price": "0",
+        }
+
+    A, B, C, D = ("0x" + c * 40 for c in "abcd")
+    rows = [
+        edge(0, A, A, 3.0, 100, "h0", "native"),
+        edge(1, A, B, 2.0, 110, "h1", "native"),
+        edge(2, B, A, 1.5, 115, "h1", "TOK1"),
+        edge(3, A, C, 0.0, 120, "h2", "native"),
+        edge(4, B, C, 2.5, 130, "h3", "TOK1"),
+        edge(5, C, B, 2.5, 135, "h3", "native"),   # nets to zero
+        edge(6, B, D, 1.0, 140, "h4", "native"),
+        edge(7, C, A, 0.5, 150, "h5", "TOK1"),
+        # same-hash re-creation: h3 re-enters the legs dict after its
+        # netting delete — the creation triple must move to edge 8
+        edge(8, B, C, 0.75, 160, "h3", "native"),
+    ]
+    edges = spark.createDataFrame(pd.DataFrame(rows))
+    edges.persist().count()
+    eps = 2e-2
+    seq = ExactCrawlEngine(spark, edges, "TTRRedirect", {"epsilon": eps}).run(A)
+    wave = TtrRedirectWaveEngine(spark, edges, epsilon=eps,
+                                 max_push_edges=0, hub_buckets=3).run(A)
+    assert wave.pop_log == [(s, n) for s, n, _ in seq.pop_log]
+    ranks = wave.ranks()
+    for node, p in {k: v for k, v in seq.ranks.items() if v > 0}.items():
+        assert abs(ranks.get(node, 0.0) - p) < 1e-9, node
+    edges.unpersist()
+
+
+def test_two_million_edge_hub_completes(spark):
+    """VERDICT r5 done-criterion: a popped hub with 2M touching edges
+    COMPLETES (r5 aborted the crawl). 95% of the hub's edges pair up
+    and net to zero inside their tx hash — the realistic exchange-hub
+    shape — so the distributed stage-A netting shrinks the slice from
+    2M raw edges to 100k surviving legs before the sequential walk ever
+    sees it; the wave engine pops source then hub and accounts every
+    surviving chip."""
+    n_pairs, n_single = 950_000, 100_000
+    s, h = "0x" + "e" * 40, "0x" + "f" * 40
+    zero_addr = "0x" + "0" * 40
+
+    def leg(prefix, frm, to, ts_off):
+        return spark.range(n_pairs).select(
+            F.concat(F.lit(prefix), F.col("id")).alias("id"),
+            F.concat(F.lit("cancel#"), F.col("id")).alias("hash"),
+            frm.alias("address_from"), to.alias("address_to"),
+            F.lit("2.0").alias("value"), F.lit("").alias("token_id"),
+            (F.lit(1000) + F.col("id") * 2 + ts_off).cast("long").alias("timestamp"),
+            (F.lit(10) + F.col("id")).cast("long").alias("block_number"),
+            F.lit(zero_addr).alias("contract_address"),
+            F.lit("native").alias("symbol"), F.lit(18).alias("decimals"),
+            F.lit("0").alias("gas"), F.lit("0").alias("gas_price"),
+        )
+
+    leaf = F.concat(F.lit("leaf"), F.col("id"))
+    cancels = leg("out", F.lit(h), leaf, F.lit(0)).unionByName(
+        leg("in", leaf, F.lit(h), F.lit(1)))
+    survivors = spark.range(n_single).select(
+        F.concat(F.lit("sv"), F.col("id")).alias("id"),
+        F.concat(F.lit("keep#"), F.col("id")).alias("hash"),
+        F.lit(h).alias("address_from"),
+        F.concat(F.lit("sleaf"), F.col("id")).alias("address_to"),
+        F.lit("1.0").alias("value"), F.lit("").alias("token_id"),
+        (F.lit(9_000_000) + F.col("id")).cast("long").alias("timestamp"),
+        (F.lit(5_000_000) + F.col("id")).cast("long").alias("block_number"),
+        F.lit(zero_addr).alias("contract_address"),
+        F.lit("native").alias("symbol"), F.lit(18).alias("decimals"),
+        F.lit("0").alias("gas"), F.lit("0").alias("gas_price"),
+    )
+    feed = spark.createDataFrame(
+        [("0xseed", "hseed", s, h, "1.0", "", 100, 1,
+          zero_addr, "native", 18, "0", "0")],
+        survivors.schema,
+    )
+    edges = feed.unionByName(cancels).unionByName(survivors)
+    edges = edges.repartition(32).persist()
+    n_edges = edges.count()
+    assert n_edges == 2 * n_pairs + n_single + 1
+
+    eng = TtrRedirectWaveEngine(spark, edges, epsilon=1e-9, k=1)
+    assert n_edges - 1 > eng.max_push_edges  # h IS above the default cap
+    got = eng.run(s, max_pops=2)
+    assert [n for _, n in got.pop_log] == [s, h]
+    # stage A netted 1.9M cancel edges away: surviving non-hub chips are
+    # exactly the 100k single-leg targets (+ the seed chip on h's side)
+    pushed_targets = got.chips.where(
+        F.col("node").startswith("sleaf")).count()
+    assert pushed_targets == n_single
+    edges.unpersist()
+
+
+def test_hub_walk_legs_cap_is_loud(spark, edges_df, source):
+    """The irreducible residue — the sequential A11 walk over netted
+    legs — keeps a loud bound: a pathological hub whose legs survive
+    netting above ``max_walk_legs`` raises naming the node and the
+    knob, instead of silently stalling the wave."""
+    eng = TtrRedirectWaveEngine(spark, edges_df, epsilon=5e-3,
+                                max_push_edges=0, max_walk_legs=1)
+    with pytest.raises(Exception, match="max_walk_legs"):
+        eng.run(source, max_pops=3)
