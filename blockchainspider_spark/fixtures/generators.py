@@ -19,9 +19,8 @@ from blockchainspider_spark.functions.imagecodec import (
     phash64,
     png_encode,
     psnr,
-    qjpeg_decode,
-    qjpeg_encode,
 )
+from blockchainspider_spark.functions.jpegcodec import jpeg_decode, jpeg_encode
 
 EDGE_COLUMNS = [
     "id", "hash", "address_from", "address_to", "value", "token_id",
@@ -173,8 +172,10 @@ def make_images(
         image_id = f"img://host-{bucket}/{name}"
         pixels = _pixels_for(image_id, w, h)
         fmt = "jpeg" if rng.random() < 0.5 else "png"
-        data = qjpeg_encode(pixels) if fmt == "jpeg" else png_encode(pixels)
-        decoded = qjpeg_decode(data) if fmt == "jpeg" else pixels
+        # quality 98: the sigma-6 fixture noise costs real JPEG ~43 dB
+        # here - lossy, yet safely above the >=40 dB payload invariant
+        data = jpeg_encode(pixels, quality=98) if fmt == "jpeg" else png_encode(pixels)
+        decoded = jpeg_decode(data) if fmt == "jpeg" else pixels
         assert fmt == "png" or psnr(pixels, decoded) >= 40.0
         rows.append({
             "image_id": image_id,

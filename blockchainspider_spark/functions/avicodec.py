@@ -1,14 +1,16 @@
-"""Real AVI container support for UNCOMPRESSED (BI_RGB / 'DIB ') video.
+"""Real AVI container support: UNCOMPRESSED (BI_RGB / 'DIB ') + MJPEG.
 
 Like WAV-PCM and G.711 on the audio side, a raw-frame AVI is a
 container format, not a codec: RIFF 'AVI ' → LIST hdrl (avih main
 header, strl with the 'vids' stream header + BITMAPINFOHEADER) → LIST
 movi with one '00db' chunk per frame holding bottom-up, 4-byte-row-
-aligned BGR24 pixels. Parsing it needs no codec library, so the video
-frame-sample operator decodes it for REAL; compressed fourccs (h264,
-mjpg, …) still refuse loudly. The encoder writes a minimally
-conforming file the parser (and any standard player) accepts — used by
-tests and available as a sink.
+aligned BGR24 pixels. Since round 6 the 'MJPG' fourcc also decodes for
+REAL — each '00dc' chunk is a baseline JFIF image handled by the numpy
+JPEG codec (functions/jpegcodec.py), including the OpenDML convention
+of frames that omit their Huffman tables. Other compressed fourccs
+(h264, …) still refuse loudly. The encoder writes a minimally
+conforming file in either flavor — used by tests and available as a
+sink.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ import struct
 import numpy as np
 
 BI_RGB = 0
+MJPG = struct.unpack("<I", b"MJPG")[0]
 
 
 class AviError(NotImplementedError):
@@ -72,15 +75,22 @@ def parse_avi(data: bytes):
     walk(12, len(data))
     if movi_span is None or width is None:
         raise AviError("AVI missing hdrl/movi lists")
-    if compression not in (None, BI_RGB) or (bitcount not in (None, 24)):
+    is_mjpg = compression == MJPG
+    if not is_mjpg and (compression not in (None, BI_RGB)
+                        or bitcount not in (None, 24)):
         raise AviError(
             f"AVI compression {compression!r} bitcount {bitcount}: only "
-            "uncompressed BI_RGB 24bpp decodes in this container"
+            "uncompressed BI_RGB 24bpp and MJPG decode in this container"
         )
     row_stride = (width * 3 + 3) & ~3          # rows pad to 4 bytes
     frames = []
     for cid, off, clen in _chunks(data, movi_span[0], movi_span[1]):
         if cid[2:4] not in (b"db", b"dc"):
+            continue
+        if is_mjpg:
+            from blockchainspider_spark.functions.jpegcodec import jpeg_decode
+
+            frames.append(jpeg_decode(data[off:off + clen]))
             continue
         raw = np.frombuffer(data[off:off + clen], dtype=np.uint8)
         rows = raw[: row_stride * height].reshape(height, row_stride)
@@ -90,16 +100,27 @@ def parse_avi(data: bytes):
     return fps, width, height, frames
 
 
-def avi_encode(frames: list[np.ndarray], fps: int = 25) -> bytes:
-    """RGB frames (h, w, 3 uint8, top-down) → minimal BI_RGB AVI."""
+def avi_encode(frames: list[np.ndarray], fps: int = 25,
+               codec: str = "rgb", quality: int = 90) -> bytes:
+    """RGB frames (h, w, 3 uint8, top-down) → minimal AVI.
+    ``codec='rgb'`` writes BI_RGB '00db' chunks; ``codec='mjpg'``
+    writes one real baseline-JFIF image per '00dc' chunk."""
     h, w, _ = frames[0].shape
     row_stride = (w * 3 + 3) & ~3
     pad = row_stride - w * 3
+    mjpg = codec == "mjpg"
+    if mjpg:
+        from blockchainspider_spark.functions.jpegcodec import jpeg_encode
 
     def frame_chunk(f: np.ndarray) -> bytes:
-        bgr = f[::-1, :, ::-1]                  # top-down RGB → bottom-up BGR
-        body = b"".join(r.tobytes() + b"\x00" * pad for r in bgr)
-        return b"00db" + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+        if mjpg:
+            body = jpeg_encode(f, quality=quality)
+            cid = b"00dc"
+        else:
+            bgr = f[::-1, :, ::-1]              # top-down RGB → bottom-up BGR
+            body = b"".join(r.tobytes() + b"\x00" * pad for r in bgr)
+            cid = b"00db"
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
 
     frame_sz = row_stride * h
     avih = struct.pack(
@@ -107,11 +128,12 @@ def avi_encode(frames: list[np.ndarray], fps: int = 25) -> bytes:
         int(1_000_000 / fps), frame_sz * fps, 0, 0x10, len(frames), 0, 1,
         frame_sz, w, h, 0, 0, 0, 0,
     )
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
-                                            0, len(frames), frame_sz, 0, 0, 0)
+    strh = (b"vids" + (b"MJPG" if mjpg else b"DIB ")
+            + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                          0, len(frames), frame_sz, 0, 0, 0)
             + struct.pack("<HHHH", 0, 0, w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, BI_RGB,
-                       frame_sz, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24,
+                       MJPG if mjpg else BI_RGB, frame_sz, 0, 0, 0, 0)
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")

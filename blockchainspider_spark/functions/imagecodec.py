@@ -6,10 +6,10 @@ per row. Two codecs ship:
 * ``png`` — a real, spec-conformant PNG subset (8-bit RGB, filter 0,
   one IDAT). Losslessly round-trips through any standards-compliant
   reader; decoder handles filters 0-4 defensively.
-* ``qjpeg`` — a deterministic *synthetic lossy* codec standing in for
-  JPEG (the container has no libjpeg): uniform quantization of RGB to a
-  step + zlib. Marked clearly; quantization step 2 keeps PSNR ≈ 48 dB,
-  comfortably above the ≥40 dB invariant while still being lossy.
+* ``jpeg`` — a REAL baseline JFIF codec (functions/jpegcodec.py:
+  DCT/Huffman per ITU-T T.81, pure numpy) since round 6. The legacy
+  ``qjpeg`` synthetic codec (quantize+zlib, ``QJPG`` magic) is kept
+  only to decode r≤5 fixture payloads; ``decode`` dispatches on magic.
 
 Invariant helpers: ``psnr`` (decoded-pixel allclose analog) and
 ``phash64`` (DCT perceptual hash) — both vectorizable inside pandas UDFs
@@ -133,8 +133,14 @@ def qjpeg_decode(data: bytes) -> np.ndarray:
 def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
-    if fmt == "jpeg":  # synthetic lossy stand-in (see module docstring)
-        return qjpeg_decode(data)
+    if fmt == "jpeg":
+        if data[:2] == b"\xff\xd8":  # real JFIF bytes (round 6)
+            from blockchainspider_spark.functions.jpegcodec import jpeg_decode
+
+            return jpeg_decode(data)
+        if data[:4] == _QJPEG_MAGIC:  # legacy r≤5 synthetic fixtures
+            return qjpeg_decode(data)
+        raise ValueError("jpeg payload is neither JFIF nor legacy qjpeg")
     raise NotImplementedError(f"image format {fmt!r}: real decoder not in container")
 
 

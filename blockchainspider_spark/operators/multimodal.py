@@ -5,14 +5,15 @@ Images/audio/video ride as opaque ``binary`` columns with typed metadata
 kernels — one Python invocation per Arrow batch, numpy per payload.
 What's real vs stubbed in this container (no PIL/ffmpeg):
 
-* image decode        — REAL for 'png' (pure-numpy codec) and the
-                        deterministic 'jpeg' stand-in; other formats
-                        raise NotImplementedError (clearly gated).
+* image decode        — REAL for 'png' (pure-numpy codec) and, since
+                        round 6, for real baseline-JFIF 'jpeg'
+                        (functions/jpegcodec.py); other formats raise
+                        NotImplementedError (clearly gated).
 * resize              — REAL: numpy area-average resampling.
 * feature extraction  — REAL: channel means/stds + 64-bit phash.
-* video frame-sample  — plumbing REAL over a synthetic container
-                        (concatenated raw RGB frames, 'rawv' fmt);
-                        real codecs gated behind NotImplementedError.
+* video frame-sample  — REAL for BI_RGB and MJPEG AVI (and the
+                        synthetic 'rawv' container); other codecs
+                        gated behind NotImplementedError.
 * audio decode        — REAL for uncompressed WAV/PCM (stdlib `wave`:
                         rate/channels/duration/RMS/peak); compressed
                         codecs gated behind NotImplementedError.
@@ -109,10 +110,11 @@ def make_raw_video(frames: list[np.ndarray]) -> bytes:
 
 def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
     """Frame sampling: one output row per sampled frame. REAL for
-    uncompressed AVI (RIFF 'AVI ' with BI_RGB 'DIB ' frames — a
-    container format, no codec needed: functions/avicodec.py) and for
-    the synthetic 'RAWV' test container; compressed codecs (h264,
-    mjpg, …) refuse loudly via AviError."""
+    uncompressed AVI (RIFF 'AVI ' with BI_RGB 'DIB ' frames), for MJPEG
+    AVI (each '00dc' chunk a baseline JFIF image decoded by the numpy
+    JPEG codec — functions/avicodec.py + jpegcodec.py, round 6), and
+    for the synthetic 'RAWV' test container; other compressed codecs
+    (h264, …) refuse loudly via AviError."""
 
     def _iter_frames(data: bytes):
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
