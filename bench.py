@@ -24,6 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Reference calibration: the round-5 host window (BENCH_r05.json). Raw
+# walls are normalized into THIS window's units so cross-round deltas
+# compare like-for-like: a host running the busy-loop F× faster than the
+# r5 window would post F×-smaller walls for the same work, so
+# wall_normalized = wall × (calib_run_mt / CALIB_REF_MT). (VERDICT r5
+# next-round #4 wrote the inverted ratio; this is the direction that
+# actually lands r6 numbers in r5 units.)
+CALIB_REF_MT = 135_818_248
+
 HEADLINE = [
     "flagship_pricing_rollup",
     "j1_frontier_expand",
@@ -279,15 +288,50 @@ def main():
     timings["crawl_steady_stage"] = stage["wall_sec"]
     print(f"# steady-state: {stage}", file=sys.stderr)
 
+    # normalized walls: r6+ rounds report each query in r5-host-window
+    # units so cross-round deltas are adjudicable against host drift
+    factor = calib["calibration_ops_per_sec_mt"] / CALIB_REF_MT
+    normalized = {k: round(v * factor, 3) for k, v in timings.items()}
+    _delta_table(normalized, factor)
+
     print(json.dumps({
         "metric": "frontier_urls_per_sec",
         "value": stage["urls_per_sec"],
+        "value_normalized": round(stage["urls_per_sec"] / factor, 1),
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": normalized,
+        "normalization_factor": round(factor, 4),
+        "calib_ref_ops_per_sec_mt": CALIB_REF_MT,
         "e2e_depth2_urls_per_sec": round(ups, 2),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         **calib,
     }))
+
+
+def _delta_table(normalized: dict, factor: float) -> None:
+    """stderr delta table: this run's NORMALIZED walls vs the previous
+    round's recorded walls (same units once both carry calibration).
+    Ratios > 1.25 are flagged for a comment or a fix (VERDICT r5 #4)."""
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_r05.json")
+    try:
+        with open(prev_path) as fh:
+            prev = json.load(fh)["parsed"]
+        prev_q = prev.get("queries_normalized") or prev.get("queries", {})
+    except Exception:
+        print("# delta table: no previous BENCH json readable", file=sys.stderr)
+        return
+    print(f"# normalization factor {factor:.4f} (this host vs r5 window); "
+          "delta = normalized_now / prev", file=sys.stderr)
+    for name, now in normalized.items():
+        was = prev_q.get(name)
+        if not was:
+            continue
+        ratio = now / was
+        flag = "  <-- REGRESSION >25%" if ratio > 1.25 else ""
+        print(f"# delta {name}: {was:.3f}s -> {now:.3f}s (x{ratio:.2f}){flag}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

