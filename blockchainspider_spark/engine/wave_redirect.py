@@ -422,11 +422,20 @@ class TtrRedirectWaveEngine:
             .when(in_branch, F.lit(in_coeff) * F.col("value") / F.col("in_sum"))
         )
         chip_tgt = F.when(out_branch, F.col("to")).when(in_branch, F.col("from"))
-        erank_w = Window.partitionBy(F.lit(0)).orderBy("_bn", "ts", "id")
+        # slot = canonical edge rank over ALL of the seed's edges.
+        # assign_global_seq is adaptive (VERDICT r5 ceiling-class note):
+        # ≤ threshold rows run the old single-task window; a 10^7-degree
+        # seed takes the distributed range-partitioned path instead of
+        # funneling every edge through one task. The persist it takes is
+        # reused by the second consumption (fk_new) in _run_from; freed
+        # with the engine.
+        from blockchainspider_spark.engine.distseq import assign_global_seq
+
+        base = j.withColumn("_v", chip_val).withColumn("_tgt", chip_tgt)
+        assignment = assign_global_seq(base, ["_bn", "ts", "id"],
+                                       base_seq=0, seq_col="slot")
         chips = (
-            j.withColumn("_v", chip_val)
-            .withColumn("_tgt", chip_tgt)
-            .withColumn("slot", F.row_number().over(erank_w).cast("long"))
+            assignment.df
             .where(F.col("_v").isNotNull() & (F.col("_v") > 0))
             .select(
                 F.col("_tgt").alias("node"), "symbol",

@@ -1,0 +1,267 @@
+"""k>1 equivalence for the weighted wave engines (VERDICT r5 next-round
+#3): the engines DOCUMENT their batch semantics — all k pops of a wave
+read the same pre-wave state; mass gained mid-wave is seen next wave —
+but until round 6 only BFS pinned it. Here each engine at k∈{2,4} is
+replayed against a driver-side batched emulation of exactly those
+semantics running on the independent golden oracle (Haircut, TTRBase,
+TTRWeight, TTRTime) or the shared numeric core (TTRRedirect — there the
+Spark-side machinery under test is the top-k selection, fk tiebreak,
+chip-merge fold and mid-wave state isolation, which is everything k>1
+changes). Contract: identical pop sequence AND 1e-9 rank parity at
+natural termination. APPR keeps its documented Jacobi divergence
+envelope (see tests/test_property_wave.py) — asserted here at k>1.
+
+The emulation's mid-wave isolation trick: select top-k from a state
+snapshot, then push each popped node sequentially but with its state
+reset to the snapshot value first and any mass gained from earlier
+same-wave pushes re-added afterwards — byte-for-byte the engines' "pops
+consume pre-wave mass, gains wait a wave" rule."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from blockchainspider_spark.engine.wave_haircut import HaircutWaveEngine
+from blockchainspider_spark.engine.wave_redirect import TtrRedirectWaveEngine
+from blockchainspider_spark.engine.wave_weighted import (
+    ApprWaveEngine,
+    TtrTimeWaveEngine,
+    TtrWaveEngine,
+)
+from blockchainspider_spark.oracle.strategies import HaircutOracle
+from blockchainspider_spark.oracle.ttr import TtrBaseOracle, TtrTimeOracle, TtrWeightOracle
+
+from .test_property_wave import edge_lists
+
+EPS = 1e-1
+MAX_WAVES = 40  # emulation safety valve; engines terminate naturally
+
+
+def _edges_by_node(edges_pdf: pd.DataFrame) -> dict:
+    """Canonical-order touch slices per node (one entry per edge even
+    for self-loops) — the batch each push receives, matching
+    ExactCrawlEngine._expand / the engines' touch views."""
+    ordered = edges_pdf.sort_values(
+        ["block_number", "timestamp", "id"], kind="mergesort"
+    )
+    out: dict = {}
+    for r in ordered.itertuples(index=False):
+        e = {
+            "id": r.id, "hash": r.hash,
+            "from": r.address_from, "to": r.address_to,
+            "value": float(r.value), "timeStamp": int(r.timestamp),
+            "symbol": r.symbol,
+        }
+        for n in {r.address_from, r.address_to}:
+            out.setdefault(n, []).append(e)
+    return out
+
+
+def _topk_scalar(snap: dict, k: int, eps: float) -> list:
+    """Repeated strict-> argmax over the snapshot in insertion order —
+    the sequential tiebreak the engines' fk column reproduces."""
+    chosen: list = []
+    taken: set = set()
+    for _ in range(k):
+        best, best_r = None, eps
+        for cand, r in snap.items():
+            if cand not in taken and r > best_r:
+                best, best_r = cand, r
+        if best is None:
+            break
+        chosen.append((best, best_r))
+        taken.add(best)
+    return chosen
+
+
+def _batched_scalar_ttr(oracle, ebn: dict, k: int) -> list:
+    pops = []
+    for _ in range(MAX_WAVES):
+        snap = dict(oracle.r)
+        chosen = _topk_scalar(snap, k, oracle.epsilon)
+        if not chosen:
+            break
+        for node, _res in chosen:
+            gained = oracle.r.get(node, 0.0) - snap.get(node, 0.0)
+            oracle.r[node] = snap.get(node, 0.0)
+            oracle.push(node, ebn.get(node, []))
+            oracle.r[node] = oracle.r.get(node, 0.0) + gained
+        pops.extend(n for n, _ in chosen)
+    return pops
+
+
+def _batched_haircut(oracle, ebn: dict, k: int) -> list:
+    # seed wave: the engines pop the source unconditionally (the oracle
+    # pre-visits it, so its own pop() would skip it — ExactCrawlEngine
+    # seeds the pop log the same way)
+    oracle.push(oracle.source, ebn.get(oracle.source, []))
+    pops = [oracle.source]
+    for _ in range(MAX_WAVES):
+        snap = dict(oracle.weight_map)
+        chosen = []
+        for _ in range(k):  # pop() mutates only visited — pre-wave reads
+            node, ctx = oracle.pop()
+            if node is None:
+                break
+            chosen.append((node, ctx["weight"]))
+        if not chosen:
+            break
+        for node, _w in chosen:
+            gained = oracle.weight_map.get(node, 0.0) - snap.get(node, 0.0)
+            oracle.weight_map[node] = snap.get(node, 0.0)
+            oracle.push(node, ebn.get(node, []))
+            oracle.weight_map[node] = oracle.weight_map.get(node, 0.0) + gained
+        pops.extend(n for n, _ in chosen)
+    return pops
+
+
+def _chips_gained(cur: dict, snap: dict) -> dict:
+    return {kk: cur[kk] - snap.get(kk, 0.0)
+            for kk in cur if cur[kk] != snap.get(kk, 0.0)}
+
+
+def _batched_chips(model, chips_attr: str, eps: float, ebn: dict, k: int,
+                   source: str, push) -> list:
+    """Chips-state batched drive (TTRTime oracle / TTRRedirect core):
+    wave 1 pops the source unconditionally (the engines' scaffold
+    chip), seeding on its push; later waves select top-k by pre-wave
+    chip totals with the insertion-order tiebreak."""
+    store = getattr(model, chips_attr)
+    push(source, ebn.get(source, []))
+    pops = [source]
+    for _ in range(MAX_WAVES):
+        snap = {n: dict(d) for n, d in store.items()}
+        totals = {n: sum(d.values()) for n, d in snap.items()}
+        chosen = _topk_scalar(totals, k, eps)
+        if not chosen:
+            break
+        for node, _res in chosen:
+            gained = _chips_gained(store.get(node, {}), snap.get(node, {}))
+            store[node] = dict(snap.get(node, {}))
+            push(node, ebn.get(node, []))
+            d = store.setdefault(node, {})
+            for kk, v in gained.items():
+                d[kk] = d.get(kk, 0.0) + v
+        pops.extend(n for n, _ in chosen)
+    return pops
+
+
+def _assert_pops_and_ranks(wave_state, want_pops, want_ranks, label):
+    got_pops = [n for _, n in wave_state.pop_log]
+    assert got_pops == want_pops, (label, got_pops, want_pops)
+    got = wave_state.ranks() if callable(getattr(wave_state, "ranks", None)) \
+        else wave_state
+    want = {n: v for n, v in want_ranks.items() if v > 0}
+    assert set(got) == set(want), (label, set(got) ^ set(want))
+    for node, v in want.items():
+        assert abs(got[node] - v) < 1e-9, (label, node)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+@settings(max_examples=15, deadline=None)
+@given(edges=edge_lists())
+def test_wave_haircut_k_batched(spark, k, edges):
+    oracle = HaircutOracle("n0", min_weight=5e-2)
+    want_pops = _batched_haircut(oracle, _edges_by_node(edges), k)
+    wave = HaircutWaveEngine(
+        spark, spark.createDataFrame(edges), k=k, min_weight=5e-2
+    ).run("n0")
+    got_pops = [n for _, n in wave.pop_log]
+    assert got_pops == want_pops, (got_pops, want_pops)
+    got = {r.node: r.weight for r in wave.node_state.collect() if r.weight > 0}
+    want = {n: w for n, w in oracle.ranks().items() if w > 0}
+    assert set(got) == set(want)
+    for node, w in want.items():
+        assert abs(got[node] - w) < 1e-9, node
+
+
+@pytest.mark.parametrize("k,weighted", [(2, False), (4, False), (2, True), (4, True)])
+@settings(max_examples=15, deadline=None)
+@given(edges=edge_lists())
+def test_wave_ttr_k_batched(spark, k, weighted, edges):
+    cls = TtrWeightOracle if weighted else TtrBaseOracle
+    oracle = cls("n0", epsilon=EPS)
+    want_pops = _batched_scalar_ttr(oracle, _edges_by_node(edges), k)
+    wave = TtrWaveEngine(
+        spark, spark.createDataFrame(edges), weighted=weighted, k=k, epsilon=EPS
+    ).run("n0")
+    _assert_pops_and_ranks(wave, want_pops, oracle.ranks(), ("TTR", weighted, k))
+
+
+@pytest.mark.parametrize("k", [2, 4])
+@settings(max_examples=6, deadline=None)
+@given(edges=edge_lists())
+def test_wave_ttrtime_k_batched(spark, k, edges):
+    """TTRTime is beyond the VERDICT-asked engine set and its per-wave
+    range-frame windows make examples ~10× costlier than the others, so
+    it runs fewer examples at a coarser ε (still the full batched-
+    semantics replay)."""
+    eps = 0.25
+    oracle = TtrTimeOracle("n0", epsilon=eps)
+    ebn = _edges_by_node(edges)
+    want_pops = _batched_chips(
+        oracle, "r", eps, ebn, k, "n0",
+        lambda n, b: oracle.push(n, b),
+    )
+    wave = TtrTimeWaveEngine(
+        spark, spark.createDataFrame(edges), k=k, epsilon=eps
+    ).run("n0")
+    _assert_pops_and_ranks(wave, want_pops, oracle.ranks(), ("TTRTime", k))
+
+
+@pytest.mark.parametrize("k", [2, 4])
+@settings(max_examples=15, deadline=None)
+@given(edges=edge_lists())
+def test_wave_ttrredirect_k_batched(spark, k, edges):
+    from blockchainspider_spark.engine.strategies_vec import VecTtrRedirect
+
+    model = VecTtrRedirect("n0", epsilon=EPS)
+    ebn = _edges_by_node(edges)
+
+    def push(node, batch_rows):
+        batch = pd.DataFrame(
+            batch_rows,
+            columns=["id", "hash", "from", "to", "value", "timeStamp", "symbol"],
+        )
+        model.push(node, batch)
+
+    want_pops = _batched_chips(model, "chips", EPS, ebn, k, "n0", push)
+    wave = TtrRedirectWaveEngine(
+        spark, spark.createDataFrame(edges), k=k, epsilon=EPS
+    ).run("n0")
+    got_pops = [n for _, n in wave.pop_log]
+    assert got_pops == want_pops, (got_pops, want_pops)
+    got = wave.ranks()
+    want = {n: v for n, v in model.ranks().items() if v > 0}
+    assert set(got) == set(want)
+    for node, v in want.items():
+        assert abs(got[node] - v) < 1e-9, node
+
+
+@pytest.mark.parametrize("k", [2, 4])
+@settings(max_examples=15, deadline=None)
+@given(edges=edge_lists())
+def test_wave_appr_k_batched_invariants(spark, k, edges):
+    """APPR at k>1 keeps the k=1 property contract (Jacobi drain — see
+    tests/test_property_wave.py): mass conservation with isolated-pop
+    drops, ε-drained termination, dense seqs."""
+    from pyspark.sql import functions as F
+
+    eps = EPS
+    wave = ApprWaveEngine(
+        spark, spark.createDataFrame(edges), k=k, epsilon=eps
+    ).run("n0", max_pops=None)
+    seqs = [s for s, _ in wave.pop_log]
+    assert seqs == list(range(len(seqs)))
+    row = wave.node_state.agg(F.sum("r").alias("r"), F.sum("p").alias("p")).collect()[0]
+    iso = {r.node for r in wave.node_state.where(F.col("isolated")).collect()}
+    dropped = sum(
+        (1 - 0.15) * r.residual
+        for r in wave.pop_log_df.collect() if r.node in iso
+    )
+    assert abs((row.r + row.p + dropped) - 1.0) < 1e-9
+    drained = wave.node_state.where(
+        F.col("fetched") & (~F.col("isolated")) & (F.col("r") > eps)
+    ).count()
+    assert drained == 0
