@@ -54,14 +54,17 @@ def _collect_suites(idx: int) -> dict:
     all sit inside the first-50 window (verified positions this
     session), as do the NEW round-5 rows sim_ann_ivf_trained
     (self-checking trained-quantizer recall floor), mm_audio_g711 and
-    mm_video_avi. Round 6 adds mm_image_jpeg (REAL baseline-JFIF codec
-    round-trip + PSNR≥40 floor + image_features mean parity, full SQL
-    oracle, position 22 — inside the window), growing the gate to
-    84 rows / 80 oracles; it pushes s1_keyset_scan (driver-green in r5)
-    just past the cut to position 50. The rotated-out tail was
-    driver-green in earlier rounds and stays covered by the full-gate
-    runs of tools/check_entry.py at sf0.01 recorded in each round's
-    log."""
+    mm_video_avi. Round 6 adds mm_video_mjpeg (real MJPG AVI → JPEG
+    frame decode, PSNR floor, position 22) and mm_image_jpeg (REAL
+    baseline-JFIF codec round-trip + PSNR≥40 floor + image_features
+    mean parity, position 23), both fully oracled and in-window, and
+    graduates sim_ann_lsh (position 34) from rows-only to a full
+    brute-force-equality oracle — gate is now 85 rows / 82 oracles.
+    The growth pushes t4_lang_profile and s1_keyset_scan (both
+    driver-green in r5) just past the cut to positions 50-51. The
+    rotated-out tail was driver-green in earlier rounds and stays
+    covered by the full-gate runs of tools/check_entry.py at sf0.01
+    recorded in each round's log."""
     out: dict = {}
     suites = [
         ("entry_etl", "build_etl_suite"),
