@@ -396,6 +396,27 @@ class TtrRedirectWaveEngine:
             durable_dir=self._ckpt.pop_log_dir() if self._ckpt else None,
         )
 
+    def _hub_netted(self, hub_key: DataFrame) -> DataFrame:
+        """Stage A of the hub push: broadcast the (≤k)-row hub pop set
+        against the touch view, bucket by hash, and net each (node,
+        bucket) slice in one grouped Arrow kernel. Factored out so
+        tools/explain_audit.py can pin the physical shape (broadcast
+        probe join + FlatMapGroupsInPandas, raw edges shuffled exactly
+        once on the bucket key)."""
+        return (
+            self._touch.join(F.broadcast(hub_key.select("node", "_pseq")),
+                             on="node", how="inner")
+            .select(
+                F.col("node").alias("_node"), "_pseq",
+                "id", "hash", "from", "to", "value",
+                F.col("ts").alias("timeStamp"), "_bn", "symbol",
+                F.pmod(F.xxhash64("hash"),
+                       F.lit(self.hub_buckets)).alias("_bucket"),
+            )
+            .groupBy("_node", "_bucket")
+            .applyInPandas(_netting_kernel(), _NET_SCHEMA)
+        )
+
     def _seed_chips(self, source: str, wave: int) -> tuple[DataFrame, int]:
         """The reference's one-time seed as DataFrame aggregations (A9):
         per-symbol in/out sums with the scan-order quirks — self-loops
@@ -604,19 +625,7 @@ class TtrRedirectWaveEngine:
                     )
                 if pop_hub:
                     hub_key = pop_key.where(F.col("node").isin(pop_hub))
-                    netted = (
-                        self._touch.join(F.broadcast(hub_key.select("node", "_pseq")),
-                                         on="node", how="inner")
-                        .select(
-                            F.col("node").alias("_node"), "_pseq",
-                            "id", "hash", "from", "to", "value",
-                            F.col("ts").alias("timeStamp"), "_bn", "symbol",
-                            F.pmod(F.xxhash64("hash"),
-                                   F.lit(self.hub_buckets)).alias("_bucket"),
-                        )
-                        .groupBy("_node", "_bucket")
-                        .applyInPandas(_netting_kernel(), _NET_SCHEMA)
-                    )
+                    netted = self._hub_netted(hub_key)
                     net_in = netted.select(
                         "_node", "_pseq", F.lit("n").alias("_kind"),
                         "symbol", "ts",

@@ -10,4 +10,4 @@ def test_plan_audit_all_ok(spark):
     results = audit(spark, "/root/testdata/sf0.001")
     failed = [name for name, _, _, ok in results if not ok]
     assert not failed, failed
-    assert len(results) == 10
+    assert len(results) == 11

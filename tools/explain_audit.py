@@ -144,6 +144,20 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
         wide_same and 0 <= planes_growth < 2000
     results.append(("ann sign-LSH signature (Arrow pandas UDF, plan invariant "
                     "in dims and plane count)", plan, ["ArrowEvalPython"], ok))
+
+    # round-6 hub push, stage A: the (≤k)-row hub pop set is BROADCAST
+    # against the persisted touch view (no shuffle of the big side for
+    # the probe), and the per-hash-bucket netting runs as one grouped
+    # Arrow kernel — raw edges cross the wire exactly once, on the
+    # (node, bucket) grouping exchange
+    from blockchainspider_spark.engine.wave_redirect import TtrRedirectWaveEngine
+
+    hub_eng = TtrRedirectWaveEngine(spark, edges)
+    hub_key = spark.createDataFrame([("c1", 0)], "node string, _pseq long")
+    netted = hub_eng._hub_netted(hub_key)  # noqa: SLF001
+    check("redirect hub netting stage A (broadcast pop probe + grouped "
+          "Arrow kernel, one exchange)", netted,
+          ["BroadcastHashJoin", "FlatMapGroupsInPandas"])
     return results
 
 
