@@ -238,6 +238,47 @@ def q_sim_ann_ivf_sql():
     """
 
 
+def q_sim_ann_ivf_nprobe(spark, sf_dir):
+    """IVF ANN with multi-probe (round 6): each query searches its 2
+    nearest cells — the standard recall lever at scale (probe fan-out
+    multiplies only the broadcast query side, never the corpus). The
+    deterministic quantizer keeps the FULL SQL oracle."""
+    import os
+
+    from blockchainspider_spark.operators.dedup import ann_ivf
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_ivf(emb, n_centroids=8, n_queries=3, k=2, nprobe=2)
+
+
+def q_sim_ann_ivf_nprobe_sql():
+    return """
+    WITH base AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vid AS cid, v AS cv FROM base WHERE vid < 8),
+    cells AS (
+      SELECT vid, v, cid,
+             round(list_sum(list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d2
+      FROM base, cent
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rk
+      FROM cells
+    ),
+    assigned AS (SELECT vid, v, cid AS cell FROM ranked WHERE rk = 1),
+    q AS (SELECT vid AS query_id, v AS vq, cid AS cell
+          FROM ranked WHERE vid < 3 AND rk <= 2),
+    scored AS (
+      SELECT q.query_id, c.vid AS neighbor_id, q.cell,
+             round(list_cosine_similarity(q.vq, c.v), 6) AS cosine
+      FROM q JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vid
+    )
+    SELECT query_id, neighbor_id, cell, cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored) t
+    WHERE rk <= 2
+    """
+
+
 def q_crawl_haircut_wave_pop_order(spark, sf_dir):
     """Wave-batched Haircut pop order, driver-adjudicated with a FULL
     SQL oracle: over a two-level value tree every node's weight is the

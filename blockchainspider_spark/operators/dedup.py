@@ -336,14 +336,18 @@ def ann_ivf(
     emb: DataFrame, n_centroids: int = 8, n_queries: int = 3, k: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer cells + search within the probed
-    cell only. Default quantizer is deterministic (centroids = the
+    cells only. Default quantizer is deterministic (centroids = the
     first ``n_centroids`` vectors) so an exact SQL oracle exists; pass
     ``centroids`` (e.g. from ``kmeans_train``) for the trained path —
     the plan shape is identical either way: assign (small broadcast
-    join) → per-cell top-k. nprobe=1: recall traded for a |cells|×
-    candidate cut."""
+    join) → per-cell top-k. ``nprobe`` is the standard recall lever
+    (round 6): each query searches its ``nprobe`` nearest cells; data
+    vectors still live in exactly one cell, so the probe fan-out
+    multiplies only the tiny broadcast query side, never the corpus —
+    candidates stay a (nprobe/|cells|)× cut of n."""
     base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     if centroids is not None:
         cent = emb.sparkSession.createDataFrame(
@@ -365,8 +369,12 @@ def ann_ivf(
         .where(F.col("rk") == 1)
         .select("vid", "v", F.col("cid").alias("cell"))
     )
-    q = assigned.where(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), F.col("v").alias("vq"), F.col("cell")
+    q = (
+        scored_cells.where(F.col("vid") < n_queries)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") <= int(nprobe))
+        .select(F.col("vid").alias("query_id"), F.col("v").alias("vq"),
+                F.col("cid").alias("cell"))
     )
     c = assigned.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vc"), "cell")
     dot = F.aggregate(F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)

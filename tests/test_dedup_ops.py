@@ -245,3 +245,29 @@ def test_ann_lsh_concentrated_data_prunes_and_recalls(spark):
     assert frac < 0.25, frac
     for qi in range(n_q):
         assert set(planted_ids[qi]) <= cands[qi]
+
+
+def test_ann_ivf_nprobe_monotone_recall(spark):
+    """nprobe is the IVF recall lever: the candidate set (and hence
+    recall vs brute force) is monotone in nprobe, and at nprobe =
+    n_centroids the search is exhaustive — IVF top-k equals brute-force
+    top-k exactly. Data vectors stay in one cell each, so (query,
+    neighbor) pairs never duplicate across probes."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    vecs = np.round(rng.standard_normal((60, 4)), 3)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [list(map(float, v)) for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    brute = {(r.query_id, r.neighbor_id)
+             for r in D.ann_topk(emb, n_queries=3, k=2).collect()}
+    prev_hits = -1
+    for nprobe in (1, 2, 8):
+        rows = D.ann_ivf(emb, n_centroids=8, n_queries=3, k=2,
+                         nprobe=nprobe).collect()
+        pairs = [(r.query_id, r.neighbor_id) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate pair across probes"
+        hits = len(set(pairs) & brute)
+        assert hits >= prev_hits, (nprobe, hits, prev_hits)
+        prev_hits = hits
+    assert set(pairs) == brute  # nprobe == n_centroids ⇒ exhaustive
