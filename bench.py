@@ -264,10 +264,20 @@ def main():
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.monotonic()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # best-of-2, same as the crawl benches: on this VM even fixed
+        # queries on identical code spread ±40% between host windows;
+        # min-of-2 trims the interference tail. clearCache between
+        # repeats keeps each run COLD (some queries persist scratch —
+        # without the clear, run 2 measures the cache, not the engine)
+        walls = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            n = fn(spark, SF_DIR).count()
+            walls.append(time.monotonic() - t0)
+        timings[name] = round(min(walls), 3)
+        print(f"# {name}: best-of-2 {timings[name]}s "
+              f"({walls[0]:.2f}/{walls[1]:.2f}, {n} rows)", file=sys.stderr)
 
     # each crawl bench runs TWICE, best-of-2 reported (VERDICT r4: sub-10s
     # wall-times on this host carry ±2× noise; min-of-2 cuts the tail)
@@ -339,6 +349,12 @@ def _delta_table(normalized: dict, factor: float) -> None:
         return
     print(f"# normalization factor {factor:.4f} (this host vs r5 window); "
           "delta = normalized_now / prev", file=sys.stderr)
+    print("# NOTE r6 protocol change: fixed queries are now best-of-2 "
+          "with cold cache but warm codegen; r5 singles included "
+          "per-query codegen compile (~0.5-1s), so sub-1.0 deltas on "
+          "small fixed queries this round are protocol, not engine. "
+          "Crawl rows were best-of-2 in r5 already (comparable).",
+          file=sys.stderr)
     # the crawl rows carry a measured ±2× noise band on this VM even on
     # identical code (4 back-to-back runs of haircut_bench spread
     # 9.0-17.3 s, best within 9% of r5) — best-of-2 only trims the
