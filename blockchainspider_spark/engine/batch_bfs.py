@@ -125,6 +125,10 @@ class BfsWaveEngine:
         #               sharded by fingerprint range as a DataFrame,
         #               probed via cogroup — the 10^10-key form (a
         #               monolithic 10^10-key filter is ~24 GB)
+        #   "cuckoo"  — functions/cuckoo.ShardedCuckooTable: same sharded
+        #               shape but deletable — the only backend that
+        #               supports ``forget()`` (release failed fetches for
+        #               re-crawl) without a full filter rebuild
         self.use_bloom = use_bloom
         self._bloom = None
         self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -170,6 +174,11 @@ class BfsWaveEngine:
             from blockchainspider_spark.functions.bloom import ShardedBloomTable
 
             self._bloom = ShardedBloomTable(self.spark, n_shards=self.n_shuffle)
+            self._bloom.add(pops, "fingerprint")
+        elif self.use_bloom == "cuckoo":
+            from blockchainspider_spark.functions.cuckoo import ShardedCuckooTable
+
+            self._bloom = ShardedCuckooTable(self.spark, n_shards=self.n_shuffle)
             self._bloom.add(pops, "fingerprint")
         elif self.use_bloom:
             from blockchainspider_spark.functions.bloom import NumpyBloom
@@ -230,7 +239,7 @@ class BfsWaveEngine:
 
         n_candidates = candidates.count() if self.lineage_detail else None
         if self.use_bloom and self._bloom is not None:
-            if self.use_bloom == "sharded":
+            if self.use_bloom in ("sharded", "cuckoo"):
                 flagged = self._bloom.might_contain(candidates, "fingerprint")
             else:
                 bloom = self._bloom
@@ -285,7 +294,7 @@ class BfsWaveEngine:
         wave_pops = self.spark.read.parquet(self._pop_wave_dir(wave))
 
         if self.use_bloom and self._bloom is not None and n_new:
-            if self.use_bloom == "sharded":
+            if self.use_bloom in ("sharded", "cuckoo"):
                 self._bloom.add(wave_pops, "fingerprint")
             else:
                 self._bloom.union_from_dataframe(wave_pops, "fingerprint")
@@ -423,7 +432,7 @@ class BfsWaveEngine:
         # the sharded bloom's (shard, bits) table snapshots alongside the
         # seen set so a resumed crawl keeps its pre-filter instead of
         # silently degrading to exact-anti-join-only
-        if self.use_bloom == "sharded" and self._bloom is not None:
+        if self.use_bloom in ("sharded", "cuckoo") and self._bloom is not None:
             self._bloom.bits_df.write.mode("overwrite").parquet(
                 os.path.join(d, "bloom_shards")
             )
@@ -435,10 +444,11 @@ class BfsWaveEngine:
             "next_seq": state.next_seq,
             "lineage": state.lineage,
         }
-        if self.use_bloom == "sharded" and self._bloom is not None:
-            # the bloom's geometry (shard routing + probe params) belongs
+        if self.use_bloom in ("sharded", "cuckoo") and self._bloom is not None:
+            # the filter's geometry (shard routing + probe params) belongs
             # to the persisted bits, not to whatever session resumes —
-            # resume() reconstructs from this, never from live config
+            # resume() reconstructs from this (the ``kind`` field picks
+            # the class), never from live config
             meta["bloom"] = self._bloom.meta()
         with open(os.path.join(d, "meta.json"), "w") as fh:
             json.dump(meta, fh)
@@ -468,20 +478,35 @@ class BfsWaveEngine:
         degraded to exact-anti-join-only."""
         d = self._wave_dir(wave)
         bloom_dir = os.path.join(d, "bloom_shards")
-        if self.use_bloom == "sharded" and os.path.exists(bloom_dir):
-            from blockchainspider_spark.functions.bloom import ShardedBloomTable
-
+        if self.use_bloom in ("sharded", "cuckoo") and os.path.exists(bloom_dir):
             with open(os.path.join(d, "meta.json")) as fh:
                 meta = json.load(fh)
             if "bloom" not in meta:
                 raise ValueError(
-                    f"checkpoint {d} has bloom_shards but no bloom geometry in "
+                    f"checkpoint {d} has bloom_shards but no filter geometry in "
                     "meta.json — refusing to guess shard routing (a wrong "
-                    "n_shards yields silent Bloom false negatives)"
+                    "n_shards yields silent false negatives)"
                 )
-            self._bloom = ShardedBloomTable.from_meta(
-                self.spark, meta["bloom"], self.spark.read.parquet(bloom_dir).persist()
-            )
+            # the persisted ``kind`` decides the class — resuming a cuckoo
+            # snapshot under use_bloom="sharded" (or vice versa) would
+            # probe the blobs with the wrong layout
+            kind = meta["bloom"].get("kind", "bloom")
+            want = "cuckoo" if self.use_bloom == "cuckoo" else "bloom"
+            if kind != want:
+                raise ValueError(
+                    f"checkpoint {d} holds a {kind} filter but the engine was "
+                    f"constructed with use_bloom={self.use_bloom!r} — pass the "
+                    "matching mode instead of reinterpreting the blobs"
+                )
+            bits = self.spark.read.parquet(bloom_dir).persist()
+            if kind == "cuckoo":
+                from blockchainspider_spark.functions.cuckoo import ShardedCuckooTable
+
+                self._bloom = ShardedCuckooTable.from_meta(self.spark, meta["bloom"], bits)
+            else:
+                from blockchainspider_spark.functions.bloom import ShardedBloomTable
+
+                self._bloom = ShardedBloomTable.from_meta(self.spark, meta["bloom"], bits)
         state = self._reload(wave)
         if self.use_bloom is True:
             from blockchainspider_spark.functions.bloom import NumpyBloom
@@ -492,3 +517,59 @@ class BfsWaveEngine:
             self._bloom = NumpyBloom(1_000_000, 1e-4)
             self._bloom.union_from_dataframe(state.seen, "fingerprint")
         return state
+
+    # ------------------------------------------------------------------ forget
+
+    def forget(self, state: CrawlState, nodes: DataFrame) -> CrawlState:
+        """Release nodes from the seen set so a later wave (or a resumed
+        crawl) re-attempts them — the re-crawl semantic for terminally
+        failed fetches (fetch_with_retries status='failed'). Returns the
+        state with ``seen`` shrunk; pop-log history is untouched (a
+        re-discovered node pops again under a fresh seq — lineage, not
+        state).
+
+        Only works end-to-end with the deletable filter backend
+        (``use_bloom="cuckoo"``) or with no filter at all; the Bloom
+        backends cannot unset bits and refuse loudly rather than leave a
+        filter that contradicts the exact seen set. Nodes not currently
+        seen also refuse loudly (and satisfy the cuckoo-filter contract
+        that only inserted keys are deleted)."""
+        if self.use_bloom and self.use_bloom != "cuckoo":
+            raise ValueError(
+                f"forget() needs a deletable seen filter; use_bloom="
+                f"{self.use_bloom!r} is a Bloom (bits cannot be unset — the "
+                "filter would keep reporting maybe-seen forever). Construct "
+                'the engine with use_bloom="cuckoo" or use_bloom=False.'
+            )
+        doomed = nodes if "fingerprint" in nodes.columns else nodes.select(
+            "*", node_fingerprint(F.col("node")).alias("fingerprint")
+        )
+        doomed = doomed.select("fingerprint").dropDuplicates(["fingerprint"]).persist()
+        n_doomed = doomed.count()
+        present = doomed.join(
+            state.seen.select("fingerprint"), on="fingerprint", how="left_semi"
+        )
+        n_present = present.count()
+        if n_present != n_doomed:
+            doomed.unpersist()
+            raise ValueError(
+                f"forget() of {n_doomed - n_present}/{n_doomed} nodes that are "
+                "not in the seen set — refusing (forgetting the never-seen is "
+                "a caller bug, and the cuckoo delete contract requires "
+                "previously-inserted keys)"
+            )
+        new_seen = state.seen.join(doomed, on="fingerprint", how="left_anti").persist()
+        new_seen.count()
+        if self._bloom is not None:
+            self._bloom.delete(doomed, "fingerprint")
+        state.seen.unpersist()
+        doomed.unpersist()
+        return CrawlState(
+            wave=state.wave,
+            frontier=state.frontier,
+            seen=new_seen,
+            frontier_size=state.frontier_size,
+            next_seq=state.next_seq,
+            pop_log_df=state.pop_log_df,
+            lineage=state.lineage,
+        )

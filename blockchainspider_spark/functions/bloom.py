@@ -112,7 +112,7 @@ class ShardedBloomTable:
         """Geometry that must survive a checkpoint: shard routing and
         probe parameters. A table reloaded under different geometry would
         hash probes to the wrong shard/bit — silent false negatives."""
-        return {"n_shards": self.n_shards, "n_bits": self.n_bits,
+        return {"kind": "bloom", "n_shards": self.n_shards, "n_bits": self.n_bits,
                 "k": self.k, "n_bytes": self.n_bytes}
 
     @classmethod
