@@ -58,12 +58,14 @@ def _collect_suites(idx: int) -> dict:
     frame decode, PSNR floor, position 22) and mm_image_jpeg (REAL
     baseline-JFIF codec round-trip + PSNR≥40 floor + image_features
     mean parity, position 23), both fully oracled and in-window, and
-    graduates sim_ann_lsh (position 34) from rows-only to a full
+    graduates sim_ann_lsh (position 35) from rows-only to a full
     brute-force-equality oracle, and adds sim_ann_ivf_nprobe (position
-    36, multi-probe IVF, full oracle) — gate is now 86 rows /
-    83 oracles. The growth pushes t3_doc_fingerprint, t4_lang_profile
-    and s1_keyset_scan (all driver-green in r5) just past the cut to
-    positions 50-52. The
+    37, multi-probe IVF, full oracle) plus crawl_bfs_cuckoo_forget
+    (position 40: deletable cuckoo seen-filter backend, full pop-order
+    oracle + forget()/re-crawl self-check) — gate is now 87 rows /
+    84 oracles. The growth pushes t2_quality_score, t3_doc_fingerprint,
+    t4_lang_profile and s1_keyset_scan (all driver-green in r5) just
+    past the cut to positions 51-54. The
     rotated-out tail was driver-green in earlier rounds and stays
     covered by the full-gate runs of tools/check_entry.py at sf0.01
     recorded in each round's log."""

@@ -102,6 +102,7 @@ class BfsWaveEngine:
         hooks=None,
         use_bloom: bool = False,
         touch: DataFrame | None = None,
+        filter_capacity: int = 1_000_000,
     ):
         self.spark = spark
         self.edges = edges
@@ -130,6 +131,12 @@ class BfsWaveEngine:
         #               supports ``forget()`` (release failed fetches for
         #               re-crawl) without a full filter rebuild
         self.use_bloom = use_bloom
+        # TOTAL expected seen-set keys across all shards (size ≥ the
+        # crawl's final |seen|, ~2× headroom recommended for the cuckoo's
+        # per-shard load ceiling). 10^10-key deployments pass 1e10 and a
+        # proportionally larger n_shuffle — per-shard blobs stay
+        # executor-heap-sized either way.
+        self.filter_capacity = filter_capacity
         self._bloom = None
         self.n_shuffle = n_shuffle or int(spark.conf.get("spark.sql.shuffle.partitions"))
         # pop-log parquet lives under the checkpoint dir when given, else
@@ -170,20 +177,23 @@ class BfsWaveEngine:
             wave=0, frontier=frontier, seen=seen, frontier_size=1,
             next_seq=1, pop_log_df=pops,
         )
+        per_shard = max(4096, self.filter_capacity // self.n_shuffle)
         if self.use_bloom == "sharded":
             from blockchainspider_spark.functions.bloom import ShardedBloomTable
 
-            self._bloom = ShardedBloomTable(self.spark, n_shards=self.n_shuffle)
+            self._bloom = ShardedBloomTable(
+                self.spark, capacity_per_shard=per_shard, n_shards=self.n_shuffle)
             self._bloom.add(pops, "fingerprint")
         elif self.use_bloom == "cuckoo":
             from blockchainspider_spark.functions.cuckoo import ShardedCuckooTable
 
-            self._bloom = ShardedCuckooTable(self.spark, n_shards=self.n_shuffle)
+            self._bloom = ShardedCuckooTable(
+                self.spark, capacity_per_shard=per_shard, n_shards=self.n_shuffle)
             self._bloom.add(pops, "fingerprint")
         elif self.use_bloom:
             from blockchainspider_spark.functions.bloom import NumpyBloom
 
-            self._bloom = NumpyBloom(1_000_000, 1e-4)
+            self._bloom = NumpyBloom(self.filter_capacity, 1e-4)
             self._bloom.union_from_dataframe(pops, "fingerprint")
         return state
 
@@ -514,7 +524,7 @@ class BfsWaveEngine:
             # the broadcast filter isn't checkpointed (it's derivable):
             # rebuild it from the reloaded seen set so the pre-filter
             # survives resume instead of staying None
-            self._bloom = NumpyBloom(1_000_000, 1e-4)
+            self._bloom = NumpyBloom(self.filter_capacity, 1e-4)
             self._bloom.union_from_dataframe(state.seen, "fingerprint")
         return state
 
@@ -573,3 +583,99 @@ class BfsWaveEngine:
             pop_log_df=state.pop_log_df,
             lineage=state.lineage,
         )
+
+    def repair(self, state: CrawlState, failed: DataFrame):
+        """Forget terminally-failed fetch nodes and re-crawl them in one
+        repair wave. ``failed`` carries a ``node`` column — typically the
+        fetched rows where the decode invariant failed (``~psnr_ok`` /
+        ``~phash_match``, functions/payload.py) or fetch_with_retries
+        rows with status='failed' (engine/fetch_cache.py).
+
+        Mechanics: the failed nodes are forgotten (seen set + cuckoo
+        shards shrink — needs the deletable backend or no filter), the
+        frontier is re-seeded with their pop-log PARENTS — the popped
+        depth-(d-1) rows adjacent to a failed depth-d node — and one
+        wave runs: the forgotten nodes re-pop under fresh seqs (the
+        first-enqueue rank recomputed over the re-seeded parents) and
+        re-fetch, while every other child of those parents is still
+        seen and prunes away in the anti-join. Returns run_wave's
+        ``(state, emitted, fetched)`` triple; the caller inspects
+        ``fetched`` and loops while failures remain (each repair wave
+        appends a lineage row tagged ``repair: true``, so retry budgets
+        stay observable — tools/submit_crawl.py --repair-failed N).
+
+        Refuses loudly on: a node that never popped (caller bug), a
+        depth-0 seed (it has no parent, and the engine never fetches the
+        seed — re-run the crawl instead), and a failed node none of
+        whose parents are still in the pop log (nothing can re-discover
+        it; silent drop would read as 'repaired')."""
+        doomed = failed.select("node").dropDuplicates(["node"]).persist()
+        n_doomed = doomed.count()
+        if not n_doomed:
+            raise ValueError("repair() with an empty failed set — caller bug")
+        info = (
+            state.pop_log_df.join(doomed, on="node", how="left_semi")
+            .select("node", "depth").dropDuplicates(["node", "depth"]).persist()
+        )
+        n_popped = info.select("node").dropDuplicates().count()
+        if n_popped != n_doomed:
+            raise ValueError(
+                f"repair() of {n_doomed - n_popped}/{n_doomed} nodes that never "
+                "popped — only fetched (hence popped) nodes can fail a fetch"
+            )
+        if info.where(F.col("depth") == 0).count():
+            raise ValueError(
+                "repair() of the depth-0 seed — the seed has no parent to "
+                "re-pop it from (and the engine never fetches the seed); "
+                "re-run the crawl instead"
+            )
+        state = self.forget(state, doomed)
+
+        # parents: popped rows exactly one depth above, adjacent via the
+        # endpoint-exploded view (same join shape as the expand, reversed)
+        d = info.select(F.col("node").alias("_dnode"), F.col("depth").alias("_ddepth"))
+        pairs = (
+            self._touch.join(F.broadcast(d), on=F.col("endpoint") == F.col("_dnode"))
+            .select(
+                "_dnode", "_ddepth",
+                F.explode(F.array("address_from", "address_to")).alias("_nbr"),
+            )
+            .where(F.col("_nbr") != F.col("_dnode"))
+        )
+        par = pairs.join(
+            state.pop_log_df.select(
+                F.col("node").alias("_nbr"), F.col("depth").alias("_pdepth"),
+                "seq", "wave",
+            ),
+            on="_nbr", how="inner",
+        ).where(F.col("_pdepth") == F.col("_ddepth") - 1).persist()
+        n_covered = par.select("_dnode").dropDuplicates().count()
+        if n_covered != n_doomed:
+            par.unpersist(); info.unpersist(); doomed.unpersist()
+            raise ValueError(
+                f"repair(): {n_doomed - n_covered}/{n_doomed} failed nodes have "
+                "no popped parent left to re-discover them (their parents were "
+                "forgotten without repair?) — refusing rather than silently "
+                "dropping them from the re-crawl"
+            )
+        # one frontier row per parent; a node that popped more than once
+        # (earlier repairs) re-seeds under its first (min-seq) pop row so
+        # the recomputed first-enqueue ranks stay deterministic
+        frontier = (
+            par.groupBy(F.col("_nbr").alias("node"))
+            .agg(F.min(F.struct("seq", F.col("_pdepth").alias("depth"), "wave")).alias("k"))
+            .select("node", F.col("k.depth").alias("depth"),
+                    F.col("k.seq").alias("seq"), F.col("k.wave").alias("wave"))
+            .persist()
+        )
+        n_parents = frontier.count()
+        par.unpersist(); info.unpersist(); doomed.unpersist()
+
+        seeded = CrawlState(
+            wave=state.wave, frontier=frontier, seen=state.seen,
+            frontier_size=n_parents, next_seq=state.next_seq,
+            pop_log_df=state.pop_log_df, lineage=state.lineage,
+        )
+        out_state, emitted, fetched = self.run_wave(seeded)
+        out_state.lineage[-1]["repair"] = True
+        return out_state, emitted, fetched

@@ -397,6 +397,57 @@ def q_crawl_redirect_wave_pops(spark, sf_dir):
     return wave.pop_log_df.select("seq", "node", F.round("residual", 6).alias("residual"))
 
 
+def q_crawl_bfs_cuckoo_forget(spark, sf_dir):
+    """BFS crawl with the deletable cuckoo seen-filter backend
+    (functions/cuckoo.py). Two contracts in one row: (1) the filter is
+    result-INVISIBLE — the returned pop log hash-matches the same
+    windowed-SQL oracle as crawl_bfs_pop_order (the exact anti-join
+    stays the authority, the filter only prunes its probe side); (2)
+    forget()/re-crawl — the callable SELF-CHECKS that forgetting a
+    depth-1 node evicts it from both the exact seen set and the cuckoo
+    shards, and that re-expanding the source re-pops exactly that node
+    under a fresh seq (the re-crawl path for terminally failed fetches,
+    engine/batch_bfs.py repair()). Raises on any violation."""
+    from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine, CrawlState
+
+    engine = BfsWaveEngine(
+        spark, _edges_as_transfers(spark, sf_dir), max_depth=2, use_bloom="cuckoo")
+    state, _, _ = engine.run("c1", collect_transfers=False)
+    pop_log = state.pop_log_df.select(
+        "seq", "node", F.col("depth").cast("int").alias("depth")).persist()
+    pop_log.count()
+
+    victim = next(n for s, n, d in state.pop_log if d == 1)
+    old_next_seq = state.next_seq
+    state = engine.forget(state, spark.createDataFrame([(victim,)], "node string"))
+    if state.seen.where(F.col("node") == victim).count() != 0:
+        raise AssertionError(f"forget() left {victim!r} in the exact seen set")
+    vic_fp = state.pop_log_df.where(F.col("node") == victim).select("fingerprint")
+    if engine._bloom.might_contain(vic_fp, "fingerprint").where(
+            F.col("_maybe")).count() != 0:
+        raise AssertionError(
+            f"cuckoo shards still report forgotten {victim!r} as maybe-seen")
+    refront = state.pop_log_df.where(F.col("seq") == 0).select(
+        "node", "depth", "seq", "wave")
+    reseeded = CrawlState(
+        wave=state.wave, frontier=refront, seen=state.seen, frontier_size=1,
+        next_seq=state.next_seq, pop_log_df=state.pop_log_df, lineage=state.lineage,
+    )
+    reseeded, _, _ = engine.run_wave(reseeded)
+    repopped = [(s, n, d) for s, n, d in reseeded.pop_log if s >= old_next_seq]
+    if repopped != [(old_next_seq, victim, 1)]:
+        raise AssertionError(
+            f"forget/re-crawl violated: re-popped {repopped}, "
+            f"want [({old_next_seq}, {victim!r}, 1)]")
+    return pop_log
+
+
+def q_crawl_bfs_cuckoo_forget_sql():
+    # the cuckoo backend must be result-invisible: same oracle as the
+    # plain pop-order row
+    return q_crawl_bfs_pop_order_sql()
+
+
 def build_crawl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

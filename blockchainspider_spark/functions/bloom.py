@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -100,13 +102,35 @@ class ShardedBloomTable:
     prunes its probe side (U5 contract)."""
 
     def __init__(self, spark, capacity_per_shard: int = 1_000_000,
-                 fpp: float = 1e-4, n_shards: int = 64):
+                 fpp: float = 1e-4, n_shards: int = 64, compact_every: int = 8):
         proto = NumpyBloom(capacity_per_shard, fpp)
         self.spark = spark
         self.n_bits, self.k = proto.n_bits, proto.k
         self.n_bytes = len(proto.bits)
         self.n_shards = n_shards
         self.bits_df = spark.createDataFrame([], "shard int, bits binary")
+        # plan hygiene (same pattern as functions/cuckoo.py): each add()
+        # nests one more union+groupBy into the bits plan; flush to
+        # parquet every `compact_every` rewrites to keep analysis O(1)
+        # per wave on long crawls
+        self.compact_every = compact_every
+        self._n_rewrites = 0
+        self._scratch: str | None = None
+
+    def _swap_in(self, merged) -> None:
+        old = self.bits_df
+        self._n_rewrites += 1
+        if self.compact_every and self._n_rewrites % self.compact_every == 0:
+            if self._scratch is None:
+                self._scratch = tempfile.mkdtemp(prefix="bloom-bits-")
+            d = os.path.join(self._scratch, f"gen_{self._n_rewrites:06d}")
+            merged.write.mode("overwrite").parquet(d)
+            self.bits_df = self.spark.read.parquet(d)
+        else:
+            self.bits_df = merged
+        self.bits_df = self.bits_df.persist()
+        self.bits_df.count()
+        old.unpersist()
 
     def meta(self) -> dict:
         """Geometry that must survive a checkpoint: shard routing and
@@ -128,6 +152,9 @@ class ShardedBloomTable:
         self.k = int(meta["k"])
         self.n_bytes = int(meta["n_bytes"])
         self.bits_df = bits_df
+        self.compact_every = 8
+        self._n_rewrites = 0
+        self._scratch = None
         return self
 
     def _shard_col(self, col):
@@ -171,10 +198,7 @@ class ShardedBloomTable:
             .groupBy("shard")
             .applyInPandas(or_reduce, "shard int, bits binary")
         )
-        old = self.bits_df
-        self.bits_df = merged.persist()
-        self.bits_df.count()
-        old.unpersist()
+        self._swap_in(merged)
 
     def might_contain(self, candidates, col: str):
         """candidates + boolean ``_maybe`` column (False = definitely new)."""

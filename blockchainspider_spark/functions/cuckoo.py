@@ -27,6 +27,8 @@ reproducible and tests can pin exact bytes.
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -219,7 +221,8 @@ class ShardedCuckooTable:
     ``kind`` field in meta disambiguates on resume."""
 
     def __init__(self, spark, capacity_per_shard: int = 1_000_000,
-                 bucket_size: int = 4, max_kicks: int = 500, n_shards: int = 64):
+                 bucket_size: int = 4, max_kicks: int = 500, n_shards: int = 64,
+                 compact_every: int = 8):
         proto = NumpyCuckoo(capacity_per_shard, bucket_size, max_kicks)
         self.spark = spark
         self.n_buckets = proto.n_buckets
@@ -227,6 +230,29 @@ class ShardedCuckooTable:
         self.max_kicks = proto.max_kicks
         self.n_shards = n_shards
         self.bits_df = spark.createDataFrame([], "shard int, bits binary")
+        # plan hygiene: every rewrite nests one more cogroup in the bits
+        # plan (persist caches rows, not plan depth — Catalyst re-analyzes
+        # the whole chain each wave). Every `compact_every` rewrites the
+        # table is flushed to parquet and read back flat, same pattern as
+        # the engines' seen compaction (engine/batch_bfs.py:311).
+        self.compact_every = compact_every
+        self._n_rewrites = 0
+        self._scratch: str | None = None
+
+    def _swap_in(self, merged) -> None:
+        old = self.bits_df
+        self._n_rewrites += 1
+        if self.compact_every and self._n_rewrites % self.compact_every == 0:
+            if self._scratch is None:
+                self._scratch = tempfile.mkdtemp(prefix="cuckoo-bits-")
+            d = os.path.join(self._scratch, f"gen_{self._n_rewrites:06d}")
+            merged.write.mode("overwrite").parquet(d)
+            self.bits_df = self.spark.read.parquet(d)
+        else:
+            self.bits_df = merged
+        self.bits_df = self.bits_df.persist()
+        self.bits_df.count()
+        old.unpersist()
 
     def meta(self) -> dict:
         return {
@@ -248,6 +274,9 @@ class ShardedCuckooTable:
         self.bucket_size = int(meta["bucket_size"])
         self.max_kicks = int(meta["max_kicks"])
         self.bits_df = bits_df
+        self.compact_every = 8
+        self._n_rewrites = 0
+        self._scratch = None
         return self
 
     def _shard_col(self, col):
@@ -282,10 +311,7 @@ class ShardedCuckooTable:
             .cogroup(self.bits_df.groupby("shard"))
             .applyInPandas(kern, "shard int, bits binary")
         )
-        old = self.bits_df
-        self.bits_df = merged.persist()
-        self.bits_df.count()
-        old.unpersist()
+        self._swap_in(merged)
 
     def add(self, df, col: str) -> None:
         self._rewrite(df, col, "add")

@@ -140,6 +140,29 @@ def test_sharded_strict_delete_raises_in_task(spark):
         table.delete(spark.createDataFrame(pd.DataFrame({"fp": ["ddeeff99"]})), "fp")
 
 
+def test_sharded_bits_plan_stays_bounded(spark):
+    """Long crawls rewrite the bits table once per wave; every
+    compact_every rewrites it must flush to parquet and read back flat,
+    or the nested-cogroup plan depth grows without bound (Catalyst
+    re-analyzes the whole chain each wave). Correctness must survive
+    the flush: inserted-and-alive keys stay maybe-present across it."""
+    table = ShardedCuckooTable(spark, capacity_per_shard=1024, n_shards=4,
+                               compact_every=3)
+    all_keys = []
+    for gen in range(7):
+        ks = [f"{gen:02d}ab{i:04d}" for i in range(20)]
+        all_keys += ks
+        table.add(spark.createDataFrame(pd.DataFrame({"fp": ks})), "fp")
+    # 7 rewrites, compact at 3 and 6 → current plan holds ≤1 un-flushed
+    # generation on top of a parquet scan, never 7 nested cogroups
+    plan = table.bits_df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") <= 1
+    assert "parquet" in plan.lower(), f"expected a parquet-backed bits plan:\n{plan}"
+    got = table.might_contain(
+        spark.createDataFrame(pd.DataFrame({"fp": all_keys})), "fp")
+    assert got.where(~got["_maybe"]).count() == 0
+
+
 def test_sharded_meta_roundtrip(spark):
     table = ShardedCuckooTable(spark, capacity_per_shard=1024, n_shards=4)
     table.add(spark.createDataFrame(pd.DataFrame({"fp": ["0a0b0c%02d" % i for i in range(50)]})), "fp")

@@ -112,3 +112,82 @@ def test_forget_works_without_filter(spark, edges_df, source):
     before = state.seen.count()
     state = engine.forget(state, spark.createDataFrame([(victim,)], "node string"))
     assert state.seen.count() == before - 1
+
+
+# ------------------------------------------------------------------ repair
+
+
+def _corrupt(images_pdf, victim):
+    """Swap the victim's payload bytes for another image's — decoded
+    pixels no longer match the reference derived from its image_id, so
+    the fetch kernel flags psnr_ok=False / phash_match=False."""
+    pdf = images_pdf.copy()
+    vi = pdf.index[pdf["node"] == victim][0]
+    other = pdf.index[pdf["node"] != victim][0]
+    pdf.loc[vi, "bytes"] = pdf.loc[other, "bytes"]
+    pdf.loc[vi, "fmt"] = pdf.loc[other, "fmt"]  # magic check must still pass
+    return pdf
+
+
+def test_repair_refetches_exactly_the_failed_node(spark, edges_df, images_pdf, source):
+    """A transiently-corrupt fetch: the crawl flags it, repair() forgets
+    it, re-seeds its parents, and the repair wave re-pops + re-fetches
+    exactly that node (now green) under a fresh seq."""
+    probe = BfsWaveEngine(spark, edges_df, max_depth=2)
+    st, _, _ = probe.run(source, collect_transfers=False)
+    victim = next(n for _, n, d in st.pop_log if d == 1)
+
+    engine = BfsWaveEngine(
+        spark, edges_df, images=spark.createDataFrame(_corrupt(images_pdf, victim)),
+        max_depth=2, use_bloom="cuckoo",
+    )
+    state, _, fetched = engine.run(source, collect_transfers=False)
+    bad = fetched.where(~F.col("psnr_ok") | ~F.col("phash_match")).select("node")
+    bad = bad.persist()
+    assert {r.node for r in bad.collect()} == {victim}
+    before_pops = state.next_seq
+
+    # the transient failure clears before the repair wave re-fetches
+    engine.images = spark.createDataFrame(images_pdf)
+    state, _, refetched = engine.repair(state, bad)
+    rows = refetched.collect()
+    assert [r.node for r in rows] == [victim]
+    assert rows[0].psnr_ok and rows[0].phash_match
+    assert state.next_seq == before_pops + 1
+    assert state.lineage[-1].get("repair") is True
+    repop = [t for t in state.pop_log if t[0] >= before_pops]
+    assert repop == [(before_pops, victim, 1)]
+    # and the node is seen again — a later wave won't re-pop it
+    assert state.seen.where(F.col("node") == victim).count() == 1
+
+
+def test_repair_depth2_victim_keeps_depth(spark, edges_df, images_pdf, source):
+    """A failed depth-2 node re-pops at depth 2 (parents pinned to
+    depth 1), even when it is also adjacent to depth-2 pops."""
+    probe = BfsWaveEngine(spark, edges_df, max_depth=2)
+    st, _, _ = probe.run(source, collect_transfers=False)
+    victim = next(n for _, n, d in st.pop_log if d == 2)
+
+    engine = BfsWaveEngine(
+        spark, edges_df, images=spark.createDataFrame(_corrupt(images_pdf, victim)),
+        max_depth=2, use_bloom="cuckoo",
+    )
+    state, _, fetched = engine.run(source, collect_transfers=False)
+    bad = fetched.where(~F.col("psnr_ok")).select("node")
+    engine.images = spark.createDataFrame(images_pdf)
+    before_pops = state.next_seq
+    state, _, refetched = engine.repair(state, bad)
+    assert [(r.node, r.depth) for r in refetched.collect()] == [(victim, 2)]
+    assert state.pop_log[-1] == (before_pops, victim, 2)
+
+
+def test_repair_refuses_seed_and_never_popped(spark, edges_df, images_df, source):
+    engine = BfsWaveEngine(spark, edges_df, images=images_df, max_depth=1,
+                           use_bloom="cuckoo")
+    state, _, _ = engine.run(source, collect_transfers=False)
+    with pytest.raises(ValueError, match="depth-0 seed"):
+        engine.repair(state, spark.createDataFrame([(source,)], "node string"))
+    with pytest.raises(ValueError, match="never"):
+        engine.repair(state, spark.createDataFrame([("0xghost",)], "node string"))
+    with pytest.raises(ValueError, match="empty failed set"):
+        engine.repair(state, spark.createDataFrame([], "node string"))

@@ -38,8 +38,16 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--resume-wave", type=int, default=None)
-    ap.add_argument("--bloom", choices=["off", "broadcast", "sharded"], default="off",
-                    help="URL-seen Bloom pre-filter mode (sharded = 10^10-key form)")
+    ap.add_argument("--bloom", choices=["off", "broadcast", "sharded", "cuckoo"],
+                    default="off",
+                    help="URL-seen pre-filter mode (sharded = 10^10-key Bloom; "
+                         "cuckoo = deletable sharded form, required for "
+                         "--repair-failed with a filter on)")
+    ap.add_argument("--repair-failed", type=int, default=0, metavar="N",
+                    help="after a BFS crawl, forget nodes whose fetch failed "
+                         "the decode invariant (psnr_ok/phash_match) and "
+                         "re-crawl them, up to N repair waves (needs "
+                         "--bloom cuckoo or off)")
     ap.add_argument("--wave-k", type=int, default=None,
                     help="run the weighted strategy wave-BATCHED with k pops "
                          "per wave (Haircut/TTRBase/TTRWeight/APPR; k=1 "
@@ -71,7 +79,8 @@ def main():
     if args.strategy == "BFS":
         from blockchainspider_spark.engine.batch_bfs import BfsWaveEngine
 
-        use_bloom = {"off": False, "broadcast": True, "sharded": "sharded"}[args.bloom]
+        use_bloom = {"off": False, "broadcast": True, "sharded": "sharded",
+                     "cuckoo": "cuckoo"}[args.bloom]
         engine = BfsWaveEngine(
             spark, edges, images=images, max_depth=args.depth,
             checkpoint_dir=args.checkpoint, qps=args.qps, lineage_detail=True,
@@ -84,10 +93,22 @@ def main():
             emitted = fetched = None
         else:
             state, emitted, fetched = engine.run(source)
-        print(json.dumps({
-            "pops": state.next_seq,
-            "lineage": state.lineage,
-        }, default=str))
+        repair_waves = 0
+        if args.repair_failed and fetched is not None:
+            from pyspark.sql import functions as F
+
+            for _ in range(args.repair_failed):
+                bad = fetched.where(
+                    ~F.col("psnr_ok") | ~F.col("phash_match")
+                ).select("node")
+                if not bad.count():
+                    break
+                state, _, fetched = engine.repair(state, bad)
+                repair_waves += 1
+        summary = {"pops": state.next_seq, "lineage": state.lineage}
+        if args.repair_failed:
+            summary["repair_waves"] = repair_waves
+        print(json.dumps(summary, default=str))
         if args.out:
             if emitted is not None:
                 emitted.write.mode("overwrite").parquet(os.path.join(args.out, "transfers"))
