@@ -62,10 +62,12 @@ def _collect_suites(idx: int) -> dict:
     brute-force-equality oracle, and adds sim_ann_ivf_nprobe (position
     37, multi-probe IVF, full oracle) plus crawl_bfs_cuckoo_forget
     (position 40: deletable cuckoo seen-filter backend, full pop-order
-    oracle + forget()/re-crawl self-check) — gate is now 87 rows /
-    84 oracles. The growth pushes t2_quality_score, t3_doc_fingerprint,
-    t4_lang_profile and s1_keyset_scan (all driver-green in r5) just
-    past the cut to positions 51-54. The
+    oracle + forget()/re-crawl self-check) and d7_dup_spans (position
+    47: substring-level exact dedup, full oracle) — gate is now 88
+    rows / 85 oracles. The growth pushes t1_token_stats,
+    t2_quality_score, t3_doc_fingerprint, t4_lang_profile and
+    s1_keyset_scan (all driver-green in r5) just past the cut to
+    positions 51-55. The
     rotated-out tail was driver-green in earlier rounds and stays
     covered by the full-gate runs of tools/check_entry.py at sf0.01
     recorded in each round's log."""

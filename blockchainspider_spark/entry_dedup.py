@@ -216,6 +216,32 @@ def q_d6_embedding_neardup_sql():
     """
 
 
+def q_d7_dup_spans(spark, sf_dir):
+    """Substring-level exact dedup: every 8-token span occurring in >1
+    distinct doc (operators/dedup.duplicate_spans — the distributable
+    fixed-window form of suffix-array training-data dedup). The corpus'
+    small vocabulary yields natural duplicated spans, so no planting."""
+    return D.duplicate_spans(_docs(spark, sf_dir).select("doc_id", "text"), k=8)
+
+
+def q_d7_dup_spans_sql():
+    return """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+      WHERE len(t) >= 8
+    )
+    SELECT h, count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_occurrences,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM win GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    """
+
+
 def q_sim_ann_topk(spark, sf_dir):
     """ANN baseline: brute-force cosine top-3 per query (vec_id < 5)."""
     return D.ann_topk(_emb(spark, sf_dir), n_queries=5, k=3)

@@ -479,3 +479,48 @@ def ann_lsh_bucketed(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def duplicate_spans(
+    docs: DataFrame, k: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated k-token spans across documents — substring-level
+    dedup (the fixed-window restriction of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": suffix
+    arrays find arbitrary-length repeats; fixed k-windows find every
+    repeat of length ≥ k and distribute as one shuffle).
+
+    Plan shape (100-TB posture): tokenize + slide + hash are all
+    built-in column ops inside whole-stage codegen; the single shuffle
+    carries (16-byte hash, doc_id, pos) — never the text — and the
+    groupBy partial-aggregates map-side. Docs shorter than k tokens are
+    filtered before the window transform (``sequence(0, n-k)`` would
+    otherwise produce a DESCENDING range and emit garbage windows).
+
+    Returns one row per k-gram hash that occurs in >1 distinct doc:
+    (h, n_docs, n_occurrences, first_doc, last_doc).
+    """
+    toks = docs.select(
+        id_col,
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("t"),
+    ).where(F.size("t") >= k)
+    shingled = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))),
+            )
+        ).alias("h"),
+    )
+    return (
+        shingled.groupBy("h")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

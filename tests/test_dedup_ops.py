@@ -271,3 +271,29 @@ def test_ann_ivf_nprobe_monotone_recall(spark):
         assert hits >= prev_hits, (nprobe, hits, prev_hits)
         prev_hits = hits
     assert set(pairs) == brute  # nprobe == n_centroids ⇒ exhaustive
+
+
+def test_duplicate_spans_planted_and_short_doc_guard(spark):
+    """A shared 8-token span across two docs is found exactly once with
+    the right counts; docs shorter than k emit nothing (the sequence()
+    descending-range trap); a doc repeating the span twice counts both
+    occurrences but one distinct doc."""
+    span = "a b c d e f g h"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"x y {span} q r",          # span at pos 2
+            f"{span} tail words here",  # span at pos 0
+            "too short",                # < 8 tokens: no windows
+            f"{span} mid {span}",       # same span twice, one doc
+        ],
+    })
+    rows = D.duplicate_spans(spark.createDataFrame(pdf), k=8).collect()
+    # every window of doc 4 that overlaps both copies is unique to doc 4,
+    # so cross-doc rows come only from the exact planted span
+    target = [r for r in rows if r.n_docs == 3]
+    assert len(target) == 1
+    r = target[0]
+    assert (r.n_docs, r.first_doc, r.last_doc) == (3, 1, 4)
+    assert r.n_occurrences == 4  # docs 1, 2 + twice in doc 4
+    assert all(row.n_docs > 1 for row in rows)
