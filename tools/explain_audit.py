@@ -158,6 +158,36 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
     check("redirect hub netting stage A (broadcast pop probe + grouped "
           "Arrow kernel, one exchange)", netted,
           ["BroadcastHashJoin", "FlatMapGroupsInPandas"])
+
+    # round-6 substring dedup: tokenize/slide/hash must stay JVM-side
+    # (zero Python eval nodes) and aggregate partial+final over the one
+    # (hash, doc_id) exchange — the text itself never shuffles
+    from blockchainspider_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 13}" for j in range(i, i + 20))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, k=8)
+    plan = plan_of(spans)
+    ok = ("HashAggregate" in plan and "Exchange" in plan
+          and "EvalPython" not in plan)
+    results.append(("d7 duplicate spans (codegen shingles, partial+final agg, "
+                    "no Python eval)", plan, ["HashAggregate", "Exchange"], ok))
+
+    # round-6 cuckoo seen filter: probe cogroups candidates with their
+    # shard's single bits row — the blob reaches each task once via the
+    # cogroup, never replicated per candidate row by a join
+    from blockchainspider_spark.functions.cuckoo import ShardedCuckooTable
+
+    ck = ShardedCuckooTable(spark, capacity_per_shard=4096, n_shards=8)
+    ck.add(spark.createDataFrame([(f"{i:06x}ab",) for i in range(200)], "fp string"), "fp")
+    probe = ck.might_contain(
+        spark.createDataFrame([(f"{i:06x}ab",) for i in range(500)], "fp string"), "fp")
+    plan = plan_of(probe)
+    ok = "FlatMapCoGroupsInPandas" in plan and "BroadcastNestedLoopJoin" not in plan
+    results.append(("cuckoo seen-filter probe (cogrouped shard blobs, no "
+                    "blob-per-candidate join)", plan, ["FlatMapCoGroupsInPandas"], ok))
     return results
 
 
