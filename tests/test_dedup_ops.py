@@ -297,3 +297,40 @@ def test_duplicate_spans_planted_and_short_doc_guard(spark):
     assert (r.n_docs, r.first_doc, r.last_doc) == (3, 1, 4)
     assert r.n_occurrences == 4  # docs 1, 2 + twice in doc 4
     assert all(row.n_docs > 1 for row in rows)
+
+
+def test_duplicate_spans_matches_python_oracle(spark):
+    """Random tiny-vocab corpora vs an independent pure-Python oracle:
+    exact row set (hash, n_docs, n_occurrences, first, last). One Spark
+    job over all generated corpora (hypothesis + a session-scoped Spark
+    fixture don't mix well per-example; a seeded sweep covers the same
+    space)."""
+    import hashlib
+    import random
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        k = rng.choice([2, 3, 5])
+        docs = []
+        for did in range(rng.randint(1, 8)):
+            n = rng.randint(0, 12)
+            docs.append((did, " ".join(rng.choice("ab") for _ in range(n))))
+
+        expect = {}
+        for did, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            for i in range(len(toks) - k + 1):
+                h = hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+                expect.setdefault(h, []).append(did)
+        expect = {
+            h: (len(set(ds)), len(ds), min(ds), max(ds))
+            for h, ds in expect.items() if len(set(ds)) > 1
+        }
+
+        got = {
+            r.h: (r.n_docs, r.n_occurrences, r.first_doc, r.last_doc)
+            for r in D.duplicate_spans(
+                spark.createDataFrame(docs, "doc_id int, text string"), k=k
+            ).collect()
+        }
+        assert got == expect, f"seed={seed} k={k}"
