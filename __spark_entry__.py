@@ -63,11 +63,13 @@ def _collect_suites(idx: int) -> dict:
     37, multi-probe IVF, full oracle) plus crawl_bfs_cuckoo_forget
     (position 40: deletable cuckoo seen-filter backend, full pop-order
     oracle + forget()/re-crawl self-check) and d7_dup_spans (position
-    47: substring-level exact dedup, full oracle) — gate is now 88
-    rows / 85 oracles. The growth pushes t1_token_stats,
-    t2_quality_score, t3_doc_fingerprint, t4_lang_profile and
-    s1_keyset_scan (all driver-green in r5) just past the cut to
-    positions 51-55. The
+    47: substring-level exact dedup, full oracle) and d8_semantic_dedup
+    (position 48: SemDeDup cluster-then-neardup, full oracle — the
+    scale path of d6) — gate is now 89 rows / 86 oracles. The growth
+    pushes sim_ann_ivf_trained (self-checking, green in r5),
+    t1_token_stats, t2_quality_score, t3_doc_fingerprint,
+    t4_lang_profile and s1_keyset_scan (all driver-green in r5) just
+    past the cut to positions 51-56. The
     rotated-out tail was driver-green in earlier rounds and stays
     covered by the full-gate runs of tools/check_entry.py at sf0.01
     recorded in each round's log."""

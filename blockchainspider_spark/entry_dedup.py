@@ -242,6 +242,50 @@ def q_d7_dup_spans_sql():
     """
 
 
+def q_d8_semantic_dedup(spark, sf_dir):
+    """SemDeDup: cluster embeddings (deterministic quantizer, same
+    contract as sim_ann_ivf), then drop any vector with a lower-id
+    in-cluster neighbor at cosine ≥ 0.95. Exact copies planted for
+    vec_id<15 (vid+100000) must come back dropped=true — the scale path
+    of d6's all-pairs near-dup."""
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 150).select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return D.semantic_dedup(e.unionByName(copies), n_centroids=8, threshold=0.95)
+
+
+def q_d8_semantic_dedup_sql():
+    return """
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 150
+      UNION ALL
+      SELECT vec_id + 100000, embedding::DOUBLE[]
+      FROM embeddings WHERE vec_id < 15
+    ),
+    cent AS (SELECT vid AS cid, v AS cv FROM base WHERE vid < 8),
+    cells AS (
+      SELECT vid, v, cid,
+             round(list_sum(list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d2
+      FROM base, cent
+    ),
+    assigned AS (
+      SELECT vid, v, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rk
+        FROM cells) t
+      WHERE rk = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vid
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid < b.vid
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+    )
+    SELECT a.vid AS vec_id, a.cell, (d.vid IS NOT NULL) AS dropped
+    FROM assigned a LEFT JOIN dups d ON a.vid = d.vid
+    """
+
+
 def q_sim_ann_topk(spark, sf_dir):
     """ANN baseline: brute-force cosine top-3 per query (vec_id < 5)."""
     return D.ann_topk(_emb(spark, sf_dir), n_queries=5, k=3)

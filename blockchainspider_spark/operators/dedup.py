@@ -524,3 +524,70 @@ def duplicate_spans(
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame, n_centroids: int = 8, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings,
+    then inside each cluster drop every vector that has a lower-id
+    neighbor with cosine ≥ ``threshold``. The clustering bounds the
+    pairwise stage to Σ|cell|² instead of n² — the property that makes
+    embedding dedup feasible at web scale (d6's all-pairs form refuses
+    past its guard; this is its scale path).
+
+    Quantizer contract matches ``ann_ivf``: the default deterministic
+    quantizer (centroids = first ``n_centroids`` vectors) admits an
+    exact SQL oracle; pass ``centroids`` from ``kmeans_train`` for the
+    trained path — plan shape identical. Skew note: a pathological cell
+    (all of the corpus in one cluster) degenerates to n² — size
+    ``n_centroids`` so expected cells fit a task, and prefer trained
+    centroids at scale (balanced by construction).
+
+    Returns (id_col, cell, dropped) for every input vector.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    if centroids is not None:
+        cent = emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid long, cv array<double>")
+    else:
+        cent = base.where(F.col("vid") < n_centroids).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)), F.lit(0.0),
+        lambda s, x: s + x)
+    w_assign = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("cid"))
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .select("vid", "v", "cid", F.round(dist, 6).alias("d2"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vid", "v", F.col("cid").alias("cell"))
+    )
+    a = assigned.select(F.col("vid").alias("a"), F.col("v").alias("va"), "cell")
+    b = assigned.select(F.col("vid").alias("b"), F.col("v").alias("vb"), "cell")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+                      lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.expr("transform(va, x -> x * x)"), F.lit(0.0),
+                            lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.expr("transform(vb, x -> x * x)"), F.lit(0.0),
+                            lambda s, x: s + x))
+    dropped = (
+        a.join(b, on="cell")
+        .where(F.col("a") < F.col("b"))
+        .where(F.round(dot / (na * nb), 6) >= threshold)
+        .select(F.col("b").alias("vid"))
+        .dropDuplicates(["vid"])
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, on="vid", how="left")
+        .select(
+            F.col("vid").alias(id_col), "cell",
+            F.coalesce("_dropped", F.lit(False)).alias("dropped"),
+        )
+    )

@@ -334,3 +334,27 @@ def test_duplicate_spans_matches_python_oracle(spark):
             ).collect()
         }
         assert got == expect, f"seed={seed} k={k}"
+
+
+def test_semantic_dedup_trained_centroids_and_drop_rule(spark):
+    """Trained-quantizer path: kmeans centroids in, exact copies dropped
+    (lower-id survivor kept), near-orthogonal vectors kept; copies land
+    in the same cell as their originals by assignment determinism."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = np.round(rng.standard_normal((40, 6)), 3)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows += [(100 + i, [float(x) for x in vecs[i]]) for i in range(5)]  # copies
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = D.kmeans_train(emb, k=4, iters=3)
+    out = {r.vec_id: (r.cell, r.dropped)
+           for r in D.semantic_dedup(emb, threshold=0.999, centroids=cents).collect()}
+    assert len(out) == 45
+    for i in range(5):
+        assert out[100 + i][1] is True, f"copy of {i} not dropped"
+        assert out[100 + i][0] == out[i][0], "copy in a different cell"
+        assert out[i][1] is False, f"original {i} wrongly dropped"
+    # gaussian vectors at d=6 don't hit cosine 0.999 by chance
+    assert sum(d for _, d in out.values()) == 5
