@@ -65,11 +65,16 @@ def _collect_suites(idx: int) -> dict:
     oracle + forget()/re-crawl self-check) and d7_dup_spans (position
     47: substring-level exact dedup, full oracle) and d8_semantic_dedup
     (position 48: SemDeDup cluster-then-neardup, full oracle — the
-    scale path of d6) — gate is now 89 rows / 86 oracles. The growth
-    pushes sim_ann_ivf_trained (self-checking, green in r5),
-    t1_token_stats, t2_quality_score, t3_doc_fingerprint,
-    t4_lang_profile and s1_keyset_scan (all driver-green in r5) just
-    past the cut to positions 51-56. The
+    scale path of d6) and d9_phash_neardup (position 49: perceptual-
+    hash banded pigeonhole near-dup over the payload table's phash
+    column, full all-pairs oracle) and d10_dedup_groups (position 50:
+    connected-component canonical-keeper assignment via hash-to-min +
+    pointer jumping, independent recursive-CTE oracle) — gate is now
+    91 rows / 88 oracles. The growth pushes sim_ann_topk (full
+    oracle), sim_ann_lsh_recall and sim_ann_ivf_trained
+    (self-checking), t1_token_stats, t2_quality_score,
+    t3_doc_fingerprint, t4_lang_profile and s1_keyset_scan (all
+    driver-green in r5) just past the cut to positions 51-58. The
     rotated-out tail was driver-green in earlier rounds and stays
     covered by the full-gate runs of tools/check_entry.py at sf0.01
     recorded in each round's log."""

@@ -286,6 +286,98 @@ def q_d8_semantic_dedup_sql():
     """
 
 
+_PHASH_MASKS = [0x0, 0xF, 0xFF, 0xFFF, 0xFFFF, 0xFFFFF]
+
+_PHASH_FIXTURE_SQL = """
+      SELECT doc_id AS img,
+             xor(('0x' || substr(md5((doc_id // 6)::VARCHAR), 1, 15))::BIGINT,
+                 CASE (doc_id % 6)
+                   WHEN 0 THEN 0 WHEN 1 THEN 15 WHEN 2 THEN 255
+                   WHEN 3 THEN 4095 WHEN 4 THEN 65535 ELSE 1048575
+                 END) AS phash
+      FROM documents
+"""
+
+
+def _phash_fixture(spark, sf_dir) -> DataFrame:
+    """(img, phash) chain fixture: 60-bit md5 base per group of 6 docs,
+    XOR a cumulative nibble mask — consecutive variants differ by 4
+    bits (edges at max_hamming=7), skip-pairs by 8 (non-edges), so each
+    group is a CHAIN whose full membership is only reachable
+    transitively.  Exact SQL twin: ``_PHASH_FIXTURE_SQL``."""
+    base = F.conv(
+        F.substring(F.md5(F.expr("doc_id div 6").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    mask = F.element_at(
+        F.array(*[F.lit(m) for m in _PHASH_MASKS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    ).cast("long")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("img"), base.bitwiseXOR(mask).alias("phash")
+    )
+
+
+def q_d9_phash_neardup(spark, sf_dir):
+    """Image near-dup by perceptual hash: banded pigeonhole self-join +
+    exact bit_count verify (operators/dedup.phash_near_duplicates) —
+    the dedup path for the north rule's payload table's phash column.
+    Oracle is the brute-force all-pairs answer: the banded join is
+    provably equal to it (no false negatives for n_bands > max_hamming,
+    verify removes false positives)."""
+    return D.phash_near_duplicates(
+        _phash_fixture(spark, sf_dir), id_col="img", phash_col="phash", max_hamming=7
+    )
+
+
+def q_d9_phash_neardup_sql():
+    return f"""
+    WITH ph AS ({_PHASH_FIXTURE_SQL})
+    SELECT a.img AS id_a, b.img AS id_b,
+           bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+    FROM ph a JOIN ph b ON a.img < b.img
+    WHERE bit_count(xor(a.phash, b.phash)) <= 7
+    """
+
+
+def q_d10_dedup_groups(spark, sf_dir):
+    """Dedup group assignment: connected components over the d9 pair
+    graph (hash-to-min + pointer jumping, operators/dedup.dedup_groups)
+    → (img, canonical_id, group_size).  The chain fixture forces real
+    transitive closure: a 6-chain's endpoints are 20 bits apart yet
+    share one canonical keeper.  Oracle: DuckDB recursive-CTE
+    transitive closure — an independent algorithm, not a re-run."""
+    ph = _phash_fixture(spark, sf_dir)
+    edges = D.phash_near_duplicates(ph, id_col="img", phash_col="phash", max_hamming=7)
+    return D.dedup_groups(edges, ph.select("img"), node_col="img")
+
+
+def q_d10_dedup_groups_sql():
+    return f"""
+    WITH RECURSIVE ph AS ({_PHASH_FIXTURE_SQL}),
+    edges AS (
+      SELECT a.img AS a, b.img AS b
+      FROM ph a JOIN ph b ON a.img < b.img
+      WHERE bit_count(xor(a.phash, b.phash)) <= 7
+    ),
+    sym AS (
+      SELECT a, b FROM edges
+      UNION SELECT b, a FROM edges
+      UNION SELECT img, img FROM ph
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    labels AS (SELECT src AS img, min(dst) AS canonical_id FROM reach GROUP BY src)
+    SELECT l.img, l.canonical_id, s.group_size
+    FROM labels l JOIN (
+      SELECT canonical_id, count(*)::BIGINT AS group_size
+      FROM labels GROUP BY canonical_id
+    ) s USING (canonical_id)
+    """
+
+
 def q_sim_ann_topk(spark, sf_dir):
     """ANN baseline: brute-force cosine top-3 per query (vec_id < 5)."""
     return D.ann_topk(_emb(spark, sf_dir), n_queries=5, k=3)

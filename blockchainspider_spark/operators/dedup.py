@@ -591,3 +591,137 @@ def semantic_dedup(
             F.coalesce("_dropped", F.lit(False)).alias("dropped"),
         )
     )
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 7,
+    n_bands: int = 10,
+    band_bits: int = 6,
+) -> DataFrame:
+    """Perceptual-hash near-dup pairs: (id_a, id_b, hamming) for every
+    pair whose 64-bit pHashes differ in ≤ ``max_hamming`` bits.
+
+    Scale shape (the 100-TB image-dedup path for the north rule's
+    payload table, whose ``phash`` column mm_image_features computes):
+    split the hash into ``n_bands`` bit-bands and self-join on exact
+    band equality.  Pigeonhole: a pair within ``max_hamming`` flips
+    touches at most ``max_hamming`` bands, so with
+    ``n_bands > max_hamming`` it collides on ≥1 band — the banded join
+    has NO false negatives.  False positives are removed by an exact
+    ``bit_count(xor)`` verify, so the output is *identical* to the
+    all-pairs answer while only (band_idx, band_value) keys ever
+    shuffle — image bytes and full signatures stay columnar at rest.
+    DCT pHash band values are near-uniform, so bucket skew is bounded;
+    a pathological corpus (billions of identical frames) would surface
+    as a hot (band, value) bucket and takes the same two-sided
+    ``skew_salt`` treatment as :func:`lsh_candidate_pairs`.
+    """
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole broken: n_bands={n_bands} must exceed max_hamming={max_hamming}"
+        )
+    base = df.select(F.col(id_col).alias("img"), F.col(phash_col).cast("long").alias("ph"))
+    mask = (1 << band_bits) - 1
+    bands = base.select(
+        "img",
+        "ph",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("ph", band_bits * i).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bv"),
+    ).select("img", "ph", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("img").alias("id_a"), F.col("ph").alias("ph_a"), "band", "val")
+    b = bands.select(F.col("img").alias("id_b"), F.col("ph").alias("ph_b"), "band", "val")
+    return (
+        a.join(b, on=["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_groups(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 32,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → one canonical
+    keeper per group: (node, canonical_id = component-min id,
+    group_size).  The step a pair-emitting dedup (LSH / pHash / cosine)
+    needs before it can actually DROP rows — pairs alone don't say who
+    survives a 3-chain a~b~c where a~c is over threshold.
+
+    Algorithm: hash-to-min label propagation with pointer jumping.
+    Each round every node takes min(own label, neighbors' labels,
+    label-of-label); the pointer-jump term halves label-tree depth per
+    round, so convergence is O(log diameter) rounds, not O(diameter) —
+    the property that makes the loop survive a 10^9-node dup graph
+    where chain-shaped components are common.  Per-round cost: one
+    shuffle on the edge key + one broadcast-sized label self-join key;
+    ``localCheckpoint`` per round bounds the Catalyst plan (same
+    discipline as the wave engines' seen-set compaction).  Raises
+    loudly on non-convergence instead of returning partial labels.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    )
+    labels = nodes.select(F.col(node_col).alias("node")).withColumn("label", F.col("node"))
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("dst"), "label"), on="dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        jump = labels.select(F.col("node").alias("jnode"), F.col("label").alias("jlabel"))
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .join(jump, labels.label == jump.jnode, how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", "label"),
+                    F.coalesce("jlabel", "label"),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_groups did not converge in {max_iters} rounds — "
+            "component diameter exceeds 2^max_iters or the label graph is unstable"
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("group_size"))
+    return labels.join(sizes, on="label").select(
+        F.col("node").alias(node_col),
+        F.col("label").alias("canonical_id"),
+        "group_size",
+    )
