@@ -640,16 +640,20 @@ def phash_near_duplicates(
     ).select("img", "ph", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     a = bands.select(F.col("img").alias("id_a"), F.col("ph").alias("ph_a"), "band", "val")
     b = bands.select(F.col("img").alias("id_b"), F.col("ph").alias("ph_b"), "band", "val")
+    # Verify + filter BEFORE the distinct: only qualifying pairs reach
+    # the exchange (multi-band collisions dedup map-side as a keys-only
+    # aggregate; hamming is functionally determined by the pair, so
+    # distinct on all three columns ≡ dropDuplicates on the pair).
     return (
         a.join(b, on=["band", "val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long"),
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -1,8 +1,8 @@
 """Physical-plan regression hook: the full explain audit must stay green
-(tools/explain_audit.py doubles as this test's engine — 13 assertions on
+(tools/explain_audit.py doubles as this test's engine — 15 assertions on
 pushdown, broadcast, partial aggs, seq-assignment paths, top-k pops,
 redirect chip merge, UDF-closure ANN signatures, hub netting, duplicate
-spans, and the cuckoo probe)."""
+spans, the cuckoo probe, and the pHash/dedup-group stages)."""
 
 from tools.explain_audit import audit
 
@@ -11,4 +11,4 @@ def test_plan_audit_all_ok(spark):
     results = audit(spark, "/root/testdata/sf0.001")
     failed = [name for name, _, _, ok in results if not ok]
     assert not failed, failed
-    assert len(results) == 13
+    assert len(results) == 15

@@ -188,6 +188,32 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
     ok = "FlatMapCoGroupsInPandas" in plan and "BroadcastNestedLoopJoin" not in plan
     results.append(("cuckoo seen-filter probe (cogrouped shard blobs, no "
                     "blob-per-candidate join)", plan, ["FlatMapCoGroupsInPandas"], ok))
+
+    # round-6 pHash banded near-dup: band extraction + bit_count verify
+    # must stay JVM-side, and the hamming filter must run BEFORE the
+    # pair-dedup exchange (the distinct's HashAggregate is keys-only —
+    # no first()/carried payload through the shuffle)
+    from blockchainspider_spark.entry_dedup import _phash_fixture
+    from blockchainspider_spark.operators.dedup import dedup_groups, phash_near_duplicates
+
+    ph = _phash_fixture(spark, sf_dir)
+    pairs = phash_near_duplicates(ph, id_col="img", phash_col="phash", max_hamming=7)
+    plan = plan_of(pairs)
+    ok = ("bit_count" in plan and "EvalPython" not in plan
+          and "first(" not in plan)
+    results.append(("d9 pHash banded near-dup (codegen bands, pre-exchange "
+                    "hamming filter, keys-only distinct)", plan, ["bit_count"], ok))
+
+    # round-6 dedup groups: one label-propagation round = edge-key
+    # shuffle + label self-join + keys-only min agg, all JVM-side; the
+    # per-round localCheckpoint truncates lineage so the audited plan
+    # is ONE round's, not the whole loop's
+    groups = dedup_groups(pairs, ph.select("img"), node_col="img", max_iters=8)
+    plan = plan_of(groups)
+    ok = ("HashAggregate" in plan and "EvalPython" not in plan
+          and "Scan ExistingRDD" in plan)
+    results.append(("d10 dedup groups (checkpoint-truncated final round, "
+                    "no Python eval)", plan, ["HashAggregate", "Scan ExistingRDD"], ok))
     return results
 
 
