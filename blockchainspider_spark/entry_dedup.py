@@ -584,6 +584,63 @@ def q_t4_lang_profile_sql():
     """
 
 
+def q_t5_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filter (operators/dedup.repetition_metrics):
+    per-doc duplicate-token fraction + most-common-bigram fraction and
+    the keep verdict at the published thresholds.  Docs under 2 tokens
+    are excluded on both engines (no bigram exists)."""
+    return D.repetition_metrics(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_t5_repetition_filter_sql():
+    return """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct, toks
+      FROM t WHERE len(toks) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, n_tokens, n_distinct, toks[i] || ' ' || toks[i + 1] AS bigram
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+    ),
+    pb AS (
+      SELECT doc_id, n_tokens, n_distinct, bigram, count(*) AS cnt
+      FROM bi GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 - n_distinct::DOUBLE / n_tokens + 1e-9, 6) AS dup_token_frac,
+           round(max(cnt)::DOUBLE / CAST(sum(cnt) AS BIGINT) + 1e-9, 6) AS top_bigram_frac,
+           (1.0 - n_distinct::DOUBLE / n_tokens < 0.6
+            AND max(cnt)::DOUBLE / CAST(sum(cnt) AS BIGINT) < 0.2) AS keep
+    FROM pb GROUP BY 1, 2, n_distinct
+    """
+
+
+def q_t6_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test split by id hash
+    (operators/dedup.hash_split): stable across reruns and table growth
+    — a pure codegen projection, no shuffle."""
+    return D.hash_split(_docs(spark, sf_dir).select("doc_id"))
+
+
+def q_t6_hash_split_sql():
+    return """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
 def build_dedup_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

@@ -729,3 +729,75 @@ def dedup_groups(
         F.col("label").alias("canonical_id"),
         "group_size",
     )
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition filter: per doc, the
+    fraction of tokens that are repeats (1 − distinct/total) and the
+    fraction of bigrams taken by the single most common bigram, plus
+    the keep verdict at the published thresholds (dup_token_frac < 0.6,
+    top_bigram_frac < 0.2 — Rae et al. 2021 table A1 family).
+
+    Scale shape: token/bigram construction is pure codegen array ops;
+    the only shuffle is the (doc, bigram) partial+final count — bigram
+    strings shuffle once, already pre-aggregated map-side, and the
+    per-doc max/sum is a second keys-only agg on doc alone.  No window
+    over the whole corpus, nothing driver-side.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).where(F.col("n_tokens") >= 2)  # a bigram needs 2 tokens; shorter docs have no verdict
+    bigrams = base.select(
+        "doc",
+        "n_tokens",
+        "n_distinct",
+        F.explode(
+            F.expr("transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))")
+        ).alias("bigram"),
+    )
+    per_bigram = bigrams.groupBy("doc", "n_tokens", "n_distinct", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    # +1e-9 nudge before rounding, mirrored in the SQL oracle: the
+    # fraction grid contains exact half-of-1e-6 rationals where a 1-ulp
+    # division difference would flip round(…, 6)
+    return per_bigram.groupBy("doc", "n_tokens", "n_distinct").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").cast("long").alias("n_bigrams")
+    ).select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_tokens") + 1e-9, 6).alias("dup_token_frac"),
+        F.round(F.col("top_cnt") / F.col("n_bigrams") + 1e-9, 6).alias("top_bigram_frac"),
+        (
+            (1.0 - F.col("n_distinct") / F.col("n_tokens") < 0.6)
+            & (F.col("top_cnt") / F.col("n_bigrams") < 0.2)
+        ).alias("keep"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-independent
+    id hash — the split must be stable across reruns, engines, and
+    table growth (a new row never reassigns an old one), which rules
+    out sample()/rand().  Pure codegen projection: no shuffle at all;
+    at 100 TB this is a free column on the scan.
+    """
+    bucket = hash60(F.col(id_col).cast("string")) % n_buckets
+    return df.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + valid_pct, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -358,3 +358,56 @@ def test_semantic_dedup_trained_centroids_and_drop_rule(spark):
         assert out[i][1] is False, f"original {i} wrongly dropped"
     # gaussian vectors at d=6 don't hit cosine 0.999 by chance
     assert sum(d for _, d in out.values()) == 5
+
+
+def test_repetition_metrics_edges(spark):
+    """Hand corpus pinning the Gopher-filter edge cases: empty and
+    1-token docs are excluded (no bigram exists), a 2-token doc has
+    top_bigram_frac 1.0, an all-repeats doc fails the dup-token
+    threshold, and a long all-distinct doc is kept."""
+    docs = [
+        (0, ""),                       # excluded: 0 tokens
+        (1, "solo"),                   # excluded: 1 token
+        (2, "x  y"),                   # 2 tokens (double space collapses), bigram frac 1.0
+        (3, "a b a b a b"),            # dup 4/6, top bigram 'a b' 3/5
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    out = {r.doc_id: r for r in D.repetition_metrics(
+        spark.createDataFrame(docs, "doc_id int, text string")).collect()}
+    assert set(out) == {2, 3, 4}
+    assert out[2].top_bigram_frac == 1.0 and out[2].keep is False
+    assert out[3].dup_token_frac == pytest.approx(4 / 6, abs=1e-6)
+    assert out[3].top_bigram_frac == pytest.approx(3 / 5, abs=1e-6)
+    assert out[3].keep is False
+    assert out[4].dup_token_frac == 0.0
+    assert out[4].top_bigram_frac == pytest.approx(1 / 9, abs=1e-6)
+    assert out[4].keep is True
+
+
+def test_hash_split_stable_and_proportional(spark):
+    """The split is a pure function of the id: identical across runs,
+    unchanged when the table grows, and ~80/10/10 over 2000 ids."""
+    import hashlib
+
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: (r.bucket, r.split) for r in D.hash_split(ids).collect()}
+    b = {r.doc_id: (r.bucket, r.split)
+         for r in D.hash_split(ids.union(spark.range(2000, 4000)
+                                         .withColumnRenamed("id", "doc_id"))).collect()
+         if r.doc_id < 2000}
+    assert a == b  # growth never reassigns an old row
+
+    # portable-hash parity: bucket == int(md5(id)[:15], 16) % 100
+    for did in (0, 7, 1999):
+        assert a[did][0] == int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) % 100
+
+    from collections import Counter
+    frac = Counter(s for _, s in a.values())
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.06 < frac["valid"] / 2000 < 0.14
+    assert 0.06 < frac["test"] / 2000 < 0.14
+
+    custom = D.hash_split(ids, train_pct=50, valid_pct=25)
+    got = Counter(r.split for r in custom.collect())
+    assert abs(got["train"] / 2000 - 0.50) < 0.05
+    assert abs(got["valid"] / 2000 - 0.25) < 0.05
