@@ -58,23 +58,27 @@ def _collect_suites(idx: int) -> dict:
     frame decode, PSNR floor, position 22) and mm_image_jpeg (REAL
     baseline-JFIF codec round-trip + PSNR≥40 floor + image_features
     mean parity, position 23), both fully oracled and in-window, and
-    graduates sim_ann_lsh (position 35) from rows-only to a full
+    graduates sim_ann_lsh (position 34) from rows-only to a full
     brute-force-equality oracle, and adds sim_ann_ivf_nprobe (position
-    37, multi-probe IVF, full oracle) plus crawl_bfs_cuckoo_forget
-    (position 40: deletable cuckoo seen-filter backend, full pop-order
-    oracle + forget()/re-crawl self-check) and d7_dup_spans (position
-    47: substring-level exact dedup, full oracle) and d8_semantic_dedup
-    (position 48: SemDeDup cluster-then-neardup, full oracle — the
-    scale path of d6) and d9_phash_neardup (position 49: perceptual-
-    hash banded pigeonhole near-dup over the payload table's phash
-    column, full all-pairs oracle) and d10_dedup_groups (position 50:
-    connected-component canonical-keeper assignment via hash-to-min +
-    pointer jumping, independent recursive-CTE oracle) — gate is now
-    91 rows / 88 oracles. The growth pushes sim_ann_topk (full
-    oracle), sim_ann_lsh_recall and sim_ann_ivf_trained
-    (self-checking), t1_token_stats, t2_quality_score,
-    t3_doc_fingerprint, t4_lang_profile and s1_keyset_scan (all
-    driver-green in r5) just past the cut to positions 51-58. The
+    36, multi-probe IVF, full oracle) plus crawl_bfs_cuckoo_forget
+    (position 39: deletable cuckoo seen-filter backend, full pop-order
+    oracle + forget()/re-crawl self-check). The dedup suite leads with
+    its six NEW rows via entry_dedup._WINDOW_FIRST: d7_dup_spans
+    (position 40: substring-level exact dedup, full oracle),
+    d8_semantic_dedup (41: SemDeDup cluster-then-neardup, full oracle
+    — the scale path of d6), d9_phash_neardup (42: perceptual-hash
+    banded pigeonhole near-dup over the payload table's phash column,
+    full all-pairs oracle), d10_dedup_groups (43: connected-component
+    canonical-keeper assignment via hash-to-min + pointer jumping,
+    independent recursive-CTE oracle), t5_repetition_filter (44:
+    Gopher-style dup-token/top-bigram filter, full oracle) and
+    t6_hash_split (45: deterministic md5-bucket train/valid/test
+    split, full oracle) — gate is now 93 rows / 90 oracles. d1-d4
+    stay in-window at 46-49; the growth pushes d5_ngram_jaccard,
+    d6_embedding_neardup, sim_ann_topk (full oracles),
+    sim_ann_lsh_recall and sim_ann_ivf_trained (self-checking), t1-t4
+    and s1_keyset_scan (all driver-green in r5) just past the cut to
+    positions 50-59. The
     rotated-out tail was driver-green in earlier rounds and stays
     covered by the full-gate runs of tools/check_entry.py at sf0.01
     recorded in each round's log."""
