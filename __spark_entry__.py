@@ -71,14 +71,16 @@ def _collect_suites(idx: int) -> dict:
     full all-pairs oracle), d10_dedup_groups (43: connected-component
     canonical-keeper assignment via hash-to-min + pointer jumping,
     independent recursive-CTE oracle), t5_repetition_filter (44:
-    Gopher-style dup-token/top-bigram filter, full oracle) and
+    Gopher-style dup-token/top-bigram filter, full oracle),
     t6_hash_split (45: deterministic md5-bucket train/valid/test
-    split, full oracle) — gate is now 93 rows / 90 oracles. d1-d4
-    stay in-window at 46-49; the growth pushes d5_ngram_jaccard,
-    d6_embedding_neardup, sim_ann_topk (full oracles),
+    split, full oracle), t7_pii_redact (46: email/IPv4/phone
+    redaction + audit counts on planted PII, full oracle) and
+    t8_decontaminate (47: benchmark 8-gram decontamination, full
+    oracle) — gate is now 95 rows / 92 oracles. d1-d2 stay in-window
+    at 48-49; the growth pushes d3-d6, sim_ann_topk (full oracles),
     sim_ann_lsh_recall and sim_ann_ivf_trained (self-checking), t1-t4
     and s1_keyset_scan (all driver-green in r5) just past the cut to
-    positions 50-59. The
+    positions 50-61. The
     rotated-out tail was driver-green in earlier rounds and stays
     covered by the full-gate runs of tools/check_entry.py at sf0.01
     recorded in each round's log."""

@@ -641,6 +641,89 @@ def q_t6_hash_split_sql():
     """
 
 
+def q_t7_pii_redact(spark, sf_dir):
+    """PII scrubbing (operators/dedup.redact_pii): plant an email, an
+    IPv4, and a phone number derived from doc_id into every 7th doc
+    (the corpus itself is PII-free word salad), then redact + count.
+    Patterns are the Java-regex ∩ RE2 subset so the DuckDB twin is
+    exact."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    extra = F.concat(
+        F.lit(" mail user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".5 tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", extra)).otherwise(F.col("text")).alias("text"),
+    )
+    return D.redact_pii(planted)
+
+
+def q_t7_pii_redact_sql():
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text
+                    || ' mail user' || doc_id::VARCHAR
+                    || '@example.com ip 10.0.' || (doc_id % 256)::VARCHAR
+                    || '.5 tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{D.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{D.PII_IPV4}', '<IP>', 'g'),
+               '{D.PII_PHONE}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(text, '{D.PII_EMAIL}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{D.PII_IPV4}'))::BIGINT AS n_ips,
+           len(regexp_extract_all(text, '{D.PII_PHONE}'))::BIGINT AS n_phones
+    FROM planted
+    """
+
+
+def q_t8_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.decontaminate): the
+    held-out set is the first 12 tokens of every 37th doc, so those
+    docs (plus any natural 8-gram sharers in the small-vocab corpus)
+    must be flagged with their distinct-gram and position-hit counts."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    bench = d.where(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text"),
+    )
+    return D.decontaminate(d, bench, n=8)
+
+
+def q_t8_decontaminate_sql():
+    return """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    btoks AS (
+      SELECT t[1:12] AS t FROM toks WHERE doc_id % 37 = 0
+    ),
+    bgrams AS (
+      SELECT DISTINCT md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM btoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+      WHERE len(t) >= 8
+    ),
+    dgrams AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+      WHERE len(t) >= 8
+    )
+    SELECT doc_id, count(DISTINCT h)::BIGINT AS n_contaminated_ngrams,
+           count(*)::BIGINT AS n_hits
+    FROM dgrams JOIN bgrams USING (h)
+    GROUP BY doc_id
+    """
+
+
 # Rows NEW or CHANGED this round must sit inside the driver's first-50
 # adjudication window (see the __spark_entry__._collect_suites ledger).
 # This suite starts around global position 40, so only its first ~10
@@ -654,6 +737,8 @@ _WINDOW_FIRST = [
     "d10_dedup_groups",
     "t5_repetition_filter",
     "t6_hash_split",
+    "t7_pii_redact",
+    "t8_decontaminate",
 ]
 
 

@@ -801,3 +801,86 @@ def hash_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+# PII patterns shared by the Spark path and the DuckDB oracle: the
+# subset of regex syntax that means the same thing in Java regex and
+# RE2 (no lookaround, no backrefs — RE2 has neither).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, IPv4
+    addresses, and +CC-NNN-NNNN phone numbers with typed placeholders
+    and count each category (counted on the ORIGINAL text, so the
+    counts are audit numbers, not post-redaction remnants).
+
+    Order matters: emails first (an email's host part can contain a
+    digit-dotted substring; once it is ``<EMAIL>`` the IP pass cannot
+    double-redact it), then IPs, then phones.
+
+    Scale shape: four regexp passes inside whole-stage codegen — a pure
+    projection with no shuffle, no UDF, no Python. At 100 TB this is a
+    free map over the scan, exactly like hash_split.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C family): flag every
+    training doc sharing an n-token gram with a held-out benchmark set.
+    Returns one row per CONTAMINATED doc: (id, n_contaminated_ngrams =
+    distinct overlapping gram hashes, n_hits = total overlapping
+    positions); callers drop them with a left-anti join on id.
+
+    Scale shape: both sides shingle with the same codegen transform as
+    ``duplicate_spans`` (hashes shuffle, text never does). The
+    benchmark gram set is small by definition (benchmarks are KBs–MBs
+    vs a 100-TB corpus) and is broadcast — the corpus side never
+    shuffles at all; the only exchange is the final per-doc groupBy on
+    (id), map-side combined.
+    """
+    def shingle(df, idc, tc):
+        toks = df.select(
+            F.col(idc).alias("_sid"),
+            F.filter(F.split(F.col(tc), " "), lambda t: t != "").alias("t"),
+        ).where(F.size("t") >= n)
+        return toks.select(
+            "_sid",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, n))),
+                )
+            ).alias("h"),
+        )
+
+    bench_grams = shingle(benchmark, benchmark.columns[0], bench_text_col).select("h").distinct()
+    hits = shingle(docs.select(F.col(id_col), F.col(text_col)), id_col, text_col).join(
+        F.broadcast(bench_grams), "h"
+    )
+    return hits.groupBy(F.col("_sid").alias(id_col)).agg(
+        F.count_distinct("h").alias("n_contaminated_ngrams"),
+        F.count("*").alias("n_hits"),
+    )

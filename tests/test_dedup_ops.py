@@ -411,3 +411,58 @@ def test_hash_split_stable_and_proportional(spark):
     got = Counter(r.split for r in custom.collect())
     assert abs(got["train"] / 2000 - 0.50) < 0.05
     assert abs(got["valid"] / 2000 - 0.25) < 0.05
+
+
+def test_redact_pii_ordering_and_counts(spark):
+    """The email pass must run before the IP pass (an address like
+    user@10.0.0.5.example.com would otherwise be double-redacted), and
+    counts are audited on the original text."""
+    docs = [
+        (0, "reach me at a.b-c%d@host-name.example.org today"),
+        (1, "server 10.0.255.5 and 192.168.1.1 rebooted"),
+        (2, "call +44-555-0123 or +1-555-9999"),
+        (3, "combo x@y.io 1.2.3.4 +1-555-0000"),
+        (4, "clean text with no pii at all"),
+        (5, "v4-ish 999.999.999.999 still matches the defanger"),
+        (6, "not-an-email @ host.com and bare 1.2.3 triple"),
+    ]
+    out = {r.doc_id: r for r in D.redact_pii(
+        spark.createDataFrame(docs, "doc_id int, text string")).collect()}
+    assert out[0].redacted == "reach me at <EMAIL> today"
+    assert (out[0].n_emails, out[0].n_ips, out[0].n_phones) == (1, 0, 0)
+    assert out[1].redacted == "server <IP> and <IP> rebooted"
+    assert out[1].n_ips == 2
+    assert out[2].redacted == "call <PHONE> or <PHONE>"
+    assert out[2].n_phones == 2
+    assert out[3].redacted == "combo <EMAIL> <IP> <PHONE>"
+    assert out[4].redacted == docs[4][1] and out[4].n_emails == 0
+    # defanging is deliberately conservative: impossible octets still redact
+    assert "<IP>" in out[5].redacted
+    # '@ host.com' has no local part; '1.2.3' is not 4 octets
+    assert out[6].redacted == docs[6][1]
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    """Docs sharing an 8-gram with the benchmark are flagged with exact
+    distinct/total counts; short benchmark rows (<8 tokens) contribute
+    no grams; clean docs are absent from the result."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = [
+        (0, base),                                   # contains bench grams
+        (1, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),           # clean
+        (2, base + " " + base),                      # repeated: extra positional hits
+        (3, "tiny doc"),                             # < 8 tokens: no grams
+    ]
+    bench = [(100, base), (101, "short bench row")]
+    out = {r.doc_id: r for r in D.decontaminate(
+        spark.createDataFrame(docs, "doc_id int, text string"),
+        spark.createDataFrame(bench, "bench_id int, text string"),
+        n=8,
+    ).collect()}
+    assert set(out) == {0, 2}
+    # bench grams of 'w1..w10' = 3 distinct 8-grams; doc0 hits each once
+    assert (out[0].n_contaminated_ngrams, out[0].n_hits) == (3, 3)
+    # doc2 = base twice: every bench gram occurs >= twice (wraparound
+    # grams across the seam add more positions but no new distinct hash
+    # beyond the 3 bench grams)
+    assert out[2].n_contaminated_ngrams == 3 and out[2].n_hits >= 6
