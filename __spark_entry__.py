@@ -76,11 +76,14 @@ def _collect_suites(idx: int) -> dict:
     split, full oracle), t7_pii_redact (46: email/IPv4/phone
     redaction + audit counts on planted PII, full oracle) and
     t8_decontaminate (47: benchmark 8-gram decontamination, full
-    oracle) — gate is now 95 rows / 92 oracles. d1-d2 stay in-window
-    at 48-49; the growth pushes d3-d6, sim_ann_topk (full oracles),
-    sim_ann_lsh_recall and sim_ann_ivf_trained (self-checking), t1-t4
-    and s1_keyset_scan (all driver-green in r5) just past the cut to
-    positions 50-61. The
+    oracle) — plus mm_image_augment (31: seeded md5 crop+flip
+    augmentation, full closed-form oracle incl. the flip-signed
+    left/right mean invariant). Gate is now 96 rows / 93 oracles;
+    the crawl suite sits at 32-40, the new dedup rows at 41-48, and
+    d1 stays in-window at 49. The growth pushes d2-d6, sim_ann_topk
+    (full oracles), sim_ann_lsh_recall and sim_ann_ivf_trained
+    (self-checking), t1-t4 and s1_keyset_scan (all driver-green in
+    r5) just past the cut to positions 50-62. The
     rotated-out tail was driver-green in earlier rounds and stays
     covered by the full-gate runs of tools/check_entry.py at sf0.01
     recorded in each round's log."""

@@ -1407,6 +1407,89 @@ def q_x4_dcfg_tracer_roundtrip_sql():
     """
 
 
+def q_mm_image_augment(spark, sf_dir):
+    """Deterministic augmentation gate with a FULL closed-form oracle:
+    16×16 linear-ramp PNGs (channel c affine in doc_id, x, y — no
+    uint8 wrap for doc_id < 64) → REAL pipeline (png decode → seeded
+    md5 crop 8×8 + conditional hflip → png re-encode →
+    decode-and-measure kernel). DuckDB recomputes the crop offsets and
+    flip bit from the same md5 and the channel means analytically;
+    ``lr_diff_r`` (left-half minus right-half red mean) is flip-SIGNED
+    (−4 unflipped / +4 flipped), so the oracle certifies the flip
+    actually moved pixels, not just the emitted flag."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.imagecodec import png_encode
+    from blockchainspider_spark.operators.multimodal import augment_images
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                yy, xx = np.mgrid[0:16, 0:16]
+                px = np.stack(
+                    [did * 3 + xx + yy, did * 2 + 2 * xx, did + yy], axis=-1
+                ).astype(np.uint8)
+                out["image_id"].append(f"doc-{did}")
+                out["bytes"].append(png_encode(px))
+                out["fmt"].append("png")
+            yield pd.DataFrame(out)
+
+    images = d.mapInPandas(build, "image_id string, bytes binary, fmt string")
+    aug = augment_images(images, out_w=8, out_h=8, hflip=True, seed="aug")
+
+    def measure(batches):
+        from blockchainspider_spark.functions.imagecodec import decode as img_decode
+
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "ox", "oy", "flipped",
+                                   "mean_r", "mean_g", "mean_b", "lr_diff_r")}
+            for r in pdf.itertuples(index=False):
+                px = img_decode(bytes(r.bytes), r.fmt).astype(np.float64)
+                out["image_id"].append(r.image_id)
+                out["ox"].append(int(r.ox))
+                out["oy"].append(int(r.oy))
+                out["flipped"].append(bool(r.flipped))
+                out["mean_r"].append(round(float(px[..., 0].mean()), 4))
+                out["mean_g"].append(round(float(px[..., 1].mean()), 4))
+                out["mean_b"].append(round(float(px[..., 2].mean()), 4))
+                out["lr_diff_r"].append(
+                    round(float(px[:, :4, 0].mean() - px[:, 4:, 0].mean()), 4))
+            yield pd.DataFrame(out)
+
+    return aug.mapInPandas(
+        measure,
+        "image_id string, ox int, oy int, flipped boolean, "
+        "mean_r double, mean_g double, mean_b double, lr_diff_r double",
+    )
+
+
+def q_mm_image_augment_sql():
+    return """
+    WITH p AS (
+      SELECT doc_id, md5('doc-' || doc_id::VARCHAR || '#aug') AS hx
+      FROM documents WHERE doc_id < 64
+    ),
+    g AS (
+      SELECT doc_id,
+             (('0x' || substr(hx, 1, 7))::BIGINT % 9)::INTEGER AS ox,
+             (('0x' || substr(hx, 8, 7))::BIGINT % 9)::INTEGER AS oy,
+             (('0x' || substr(hx, 15, 2))::BIGINT % 2) = 1 AS flipped
+      FROM p
+    )
+    SELECT 'doc-' || doc_id::VARCHAR AS image_id, ox, oy, flipped,
+           round(CAST(doc_id * 3 + ox + oy + 7.0 AS DOUBLE), 4) AS mean_r,
+           round(CAST(doc_id * 2 + 2 * ox + 7.0 AS DOUBLE), 4) AS mean_g,
+           round(CAST(doc_id + oy + 3.5 AS DOUBLE), 4) AS mean_b,
+           round(CAST(CASE WHEN flipped THEN 4.0 ELSE -4.0 END AS DOUBLE), 4) AS lr_diff_r
+    FROM g
+    """
+
+
 def build_etl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

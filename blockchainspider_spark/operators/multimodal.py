@@ -99,6 +99,62 @@ def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
     return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, RESIZE_SCHEMA)
 
 
+AUGMENT_SCHEMA = "image_id string, ox int, oy int, flipped boolean, bytes binary, fmt string"
+
+
+def augment_images(
+    images: DataFrame, out_w: int = 8, out_h: int = 8,
+    hflip: bool = True, seed: str = "aug",
+) -> DataFrame:
+    """Deterministic training-time augmentation: seeded random crop +
+    horizontal flip. Parameters derive from md5(image_id + '#' + seed)
+    — NOT an RNG — so a rerun, a retry after task failure, or a second
+    engine produces the byte-identical augmented corpus (the same
+    portability argument as dedup.hash_split; DuckDB twin:
+    ('0x'||substr(md5(..),1,7))::BIGINT). Per image:
+
+        ox      = int(hex[0:7],  16) % (w - out_w + 1)
+        oy      = int(hex[7:14], 16) % (h - out_h + 1)
+        flipped = hflip and int(hex[14:16], 16) % 2 == 1
+
+    Emits the augmented png plus the applied params, so downstream
+    audits (and the SQL oracle) can verify the geometry independently.
+    Scale shape: one Arrow-batched kernel, no shuffle — augmentation is
+    a free map over the image scan, like resize.
+    """
+    import hashlib
+
+    from blockchainspider_spark.functions.imagecodec import png_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "ox", "oy", "flipped", "bytes", "fmt")}
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                h, w, _ = px.shape
+                if w < out_w or h < out_h:
+                    raise ValueError(
+                        f"augment_images: {r.image_id} is {w}x{h}, smaller than "
+                        f"the {out_w}x{out_h} crop — resize first"
+                    )
+                hx = hashlib.md5(f"{r.image_id}#{seed}".encode()).hexdigest()
+                ox = int(hx[0:7], 16) % (w - out_w + 1)
+                oy = int(hx[7:14], 16) % (h - out_h + 1)
+                flipped = hflip and int(hx[14:16], 16) % 2 == 1
+                crop = px[oy:oy + out_h, ox:ox + out_w]
+                if flipped:
+                    crop = crop[:, ::-1]
+                out["image_id"].append(r.image_id)
+                out["ox"].append(ox)
+                out["oy"].append(oy)
+                out["flipped"].append(flipped)
+                out["bytes"].append(png_encode(np.ascontiguousarray(crop)))
+                out["fmt"].append("png")
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, AUGMENT_SCHEMA)
+
+
 def make_raw_video(frames: list[np.ndarray]) -> bytes:
     """Synthetic 'rawv' container: header + concatenated RGB frames."""
     h, w, _ = frames[0].shape

@@ -245,3 +245,46 @@ def test_decode_audio_alaw_wav(spark):
     assert out.sample_rate == 16000 and out.n_samples == 400
     assert abs(out.rms - np.sqrt((x * x).mean())) < 1e-12
     assert abs(out.peak - np.abs(x).max()) < 1e-12
+
+
+def test_augment_images_deterministic_crop_and_flip(spark):
+    """Seeded augmentation: params equal the md5 formula, the crop is
+    the exact pixel window (reversed when flipped), reruns are
+    byte-identical, a different seed moves the window, and an
+    undersized image raises."""
+    import hashlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from blockchainspider_spark.functions.imagecodec import png_decode, png_encode
+    from blockchainspider_spark.operators.multimodal import augment_images
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (16, 16, 3), np.uint8)  # asymmetric content
+    pdf = pd.DataFrame({"image_id": ["im-1"], "bytes": [png_encode(px)], "fmt": ["png"]})
+    images = spark.createDataFrame(pdf)
+
+    r1 = augment_images(images, 8, 8, seed="aug").collect()[0]
+    hx = hashlib.md5(b"im-1#aug").hexdigest()
+    ox, oy = int(hx[0:7], 16) % 9, int(hx[7:14], 16) % 9
+    flipped = int(hx[14:16], 16) % 2 == 1
+    assert (r1.ox, r1.oy, r1.flipped) == (ox, oy, flipped)
+    want = px[oy:oy + 8, ox:ox + 8]
+    if flipped:
+        want = want[:, ::-1]
+    assert (png_decode(bytes(r1.bytes)) == want).all()
+
+    r2 = augment_images(images, 8, 8, seed="aug").collect()[0]
+    assert bytes(r2.bytes) == bytes(r1.bytes)  # rerun: byte-identical
+
+    r3 = augment_images(images, 8, 8, seed="other").collect()[0]
+    assert (r3.ox, r3.oy, r3.flipped) != (r1.ox, r1.oy, r1.flipped)
+
+    r4 = augment_images(images, 8, 8, hflip=False, seed="aug").collect()[0]
+    assert r4.flipped is False
+
+    small = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["tiny"], "bytes": [png_encode(px[:4, :4])], "fmt": ["png"]}))
+    with _pytest.raises(Exception, match="smaller than"):
+        augment_images(small, 8, 8).collect()
