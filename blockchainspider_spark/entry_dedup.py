@@ -724,6 +724,58 @@ def q_t8_decontaminate_sql():
     """
 
 
+def q_t9_mix_rates(spark, sf_dir):
+    """Temperature-based source mixing (operators/dedup.mix_rates,
+    alpha=0.5): per-source count, normalized count^alpha weight, and
+    keep rate for a 300-row target. The uniform synthetic corpus is
+    skewed first (doc_id % 4 <= src_number % 4) so the weights are
+    non-trivial; keep_rate is derived from the ROUNDED weight in both
+    engines, so the only float surface is one 6-dp-rounded pow/sum."""
+    d = _docs(spark, sf_dir).select("doc_id", "source").where(
+        F.col("doc_id") % 4 <= F.substring("source", 4, 8).cast("int") % 4
+    )
+    return D.mix_rates(d, alpha=0.5, target_rows=300)
+
+
+def q_t9_mix_rates_sql():
+    return """
+    WITH d AS (
+      SELECT doc_id, source FROM documents
+      WHERE doc_id % 4 <= substr(source, 4)::INT % 4
+    ),
+    c AS (SELECT source, count(*)::BIGINT AS n_docs FROM d GROUP BY source),
+    z AS (SELECT sum(pow(n_docs::DOUBLE, 0.5)) AS z FROM c),
+    w AS (
+      SELECT source, n_docs,
+             round(pow(n_docs::DOUBLE, 0.5) / z, 6) AS weight
+      FROM c, z
+    )
+    SELECT source, n_docs, weight,
+           round(least(CAST(1.0 AS DOUBLE), 300.0 * weight / n_docs), 6) AS keep_rate
+    FROM w
+    """
+
+
+def q_t10_stratified_sample(spark, sf_dir):
+    """Deterministic per-source downsampling
+    (operators/dedup.stratified_sample): integer ppm thresholds against
+    a portable md5 hash — the keep decision is exact integer
+    arithmetic, so the SQL twin reproduces the sample row-for-row."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return D.stratified_sample(
+        d, {"src0": 350000, "src1": 800000, "src5": 125000}, default_ppm=500000
+    )
+
+
+def q_t10_stratified_sample_sql():
+    return """
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#mix'), 1, 15))::BIGINT % 1000000
+          < CASE source WHEN 'src0' THEN 350000 WHEN 'src1' THEN 800000
+                        WHEN 'src5' THEN 125000 ELSE 500000 END
+    """
+
+
 # Rows NEW or CHANGED this round must sit inside the driver's first-50
 # adjudication window (see the __spark_entry__._collect_suites ledger).
 # This suite starts around global position 40, so only its first ~10
@@ -739,6 +791,8 @@ _WINDOW_FIRST = [
     "t6_hash_split",
     "t7_pii_redact",
     "t8_decontaminate",
+    "t9_mix_rates",
+    "t10_stratified_sample",
 ]
 
 

@@ -884,3 +884,69 @@ def decontaminate(
         F.count_distinct("h").alias("n_contaminated_ngrams"),
         F.count("*").alias("n_hits"),
     )
+
+
+def mix_rates(
+    docs: DataFrame, source_col: str = "source", alpha: float = 0.5,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-based source mixing (multilingual-LM family:
+    sample source s with probability ∝ count_s^alpha): per-source
+    counts, normalized mix weight, and — when ``target_rows`` is set —
+    the per-source keep rate min(1, target·w_s/count_s).
+
+    Emitted floats are rounded to 6 dp: weights involve pow + a
+    cross-source sum whose accumulation order Spark does not define, so
+    the unrounded ulp is not reproducible — the ROUNDED values are, and
+    the sampling decision itself never uses them (stratified_sample
+    takes integer thresholds precisely to avoid float boundaries).
+
+    Scale shape: one map-side-combined count per source (the shuffle
+    carries |sources| rows), then a scalar-broadcast normalization —
+    nothing driver-side, no window.
+    """
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z")
+    )
+    out = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("z"), 6).alias("weight"),
+    )
+    if target_rows is not None:
+        out = out.withColumn(
+            "keep_rate",
+            F.round(
+                F.least(F.lit(1.0), F.lit(float(target_rows)) * F.col("weight") / F.col("n_docs")),
+                6,
+            ),
+        )
+    return out
+
+
+def stratified_sample(
+    docs: DataFrame, rates_ppm: dict[str, int],
+    id_col: str = "doc_id", source_col: str = "source",
+    default_ppm: int = 0, seed: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source downsampling: keep a row iff
+    hash60(id#seed) % 1_000_000 < rates_ppm[source]. Thresholds are
+    INTEGER parts-per-million, not floats — the keep decision is exact
+    integer arithmetic on a portable md5 hash, so reruns, engines, and
+    the SQL oracle agree row-for-row (no ulp boundary can flip a row,
+    unlike thresholding on a computed double rate).
+
+    The rates map is a handful of entries — inlined as a literal MAP
+    expression, a broadcast-free pure projection over the scan. Rows
+    keep their columns; the sample is a filter, not a shuffle.
+    """
+    pairs = []
+    for src, ppm in sorted(rates_ppm.items()):
+        pairs += [F.lit(src), F.lit(int(ppm))]
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    thresh = F.coalesce(m[F.col(source_col)], F.lit(int(default_ppm)))
+    bucket = F.pmod(hash60(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000))
+    return docs.where(bucket < thresh)

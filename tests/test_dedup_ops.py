@@ -466,3 +466,41 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     # grams across the seam add more positions but no new distinct hash
     # beyond the 3 bench grams)
     assert out[2].n_contaminated_ngrams == 3 and out[2].n_hits >= 6
+
+
+def test_mix_rates_alpha_extremes_and_cap(spark):
+    """alpha=1 gives proportional weights, alpha=0 uniform; keep_rate
+    caps at 1.0 for sources the target over-asks."""
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id int, source string")
+
+    prop = {r.source: r for r in D.mix_rates(d, alpha=1.0, target_rows=50).collect()}
+    assert prop["big"].weight == pytest.approx(0.9, abs=1e-6)
+    assert prop["small"].weight == pytest.approx(0.1, abs=1e-6)
+    assert prop["big"].keep_rate == pytest.approx(0.5, abs=1e-6)
+
+    unif = {r.source: r.weight for r in D.mix_rates(d, alpha=0.0).collect()}
+    assert unif["big"] == unif["small"] == pytest.approx(0.5, abs=1e-6)
+
+    capped = {r.source: r.keep_rate for r in D.mix_rates(d, alpha=0.0, target_rows=150).collect()}
+    assert capped["small"] == 1.0  # 150*0.5/10 = 7.5 → capped
+
+
+def test_stratified_sample_exact_set(spark):
+    """The kept set equals the Python md5 recomputation; unknown
+    sources fall to default_ppm (0 drops them, 10^6 keeps them)."""
+    import hashlib
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id int, source string")
+    rates = {"a": 250000, "b": 900000}
+
+    def frac(did):
+        return int(hashlib.md5(f"{did}#mix".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    expect = {i for i, s in rows if frac(i) < rates.get(s, 0)}
+    got = {r.doc_id for r in D.stratified_sample(d, rates, default_ppm=0).collect()}
+    assert got == expect and 0 < len(got) < 300
+
+    all_c = {r.doc_id for r in D.stratified_sample(d, rates, default_ppm=1_000_000).collect()}
+    assert all_c == expect | {i for i, s in rows if s == "c"}
