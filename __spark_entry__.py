@@ -37,7 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate (past the driver's first-50 adjudication window) to free
 # in-window slots for rows NEW this round. Still covered by the full
 # tools/check_entry.py runs logged each round.
-_WINDOW_DEMOTE = ["s5_utxo_explode", "f2_url_canonicalize"]
+_WINDOW_DEMOTE = [
+    "s5_utxo_explode", "f2_url_canonicalize",
+    "f10_html_strip", "s12_trace_flatten",
+]
 
 
 def _collect_suites(idx: int) -> dict:
@@ -80,17 +83,20 @@ def _collect_suites(idx: int) -> dict:
     independent recursive-CTE oracle), t5_repetition_filter (43:
     Gopher-style dup-token/top-bigram filter, full oracle),
     t6_hash_split (44: deterministic md5-bucket train/valid/test
-    split, full oracle), t7_pii_redact (45: email/IPv4/phone
+    split, full oracle), t7_pii_redact (43: email/IPv4/phone
     redaction + audit counts on planted PII, full oracle) and
-    t8_decontaminate (46: benchmark 8-gram decontamination, full
-    oracle), t9_mix_rates (47: temperature source mixing, full
-    oracle), t10_stratified_sample (48: integer-ppm deterministic
-    sampling, full oracle) — plus mm_image_augment (29: seeded md5
+    t8_decontaminate (44: benchmark 8-gram decontamination, full
+    oracle), t9_mix_rates (45: temperature source mixing, full
+    oracle), t10_stratified_sample (46: integer-ppm deterministic
+    sampling, full oracle), t11_mojibake (47: encoding-damage
+    detection, full oracle), t12_lm_score (48: unigram-LM quality
+    scoring, full oracle) — plus mm_image_augment (29: seeded md5
     crop+flip augmentation, full closed-form oracle incl. the
-    flip-signed left/right mean invariant). Gate is now 98 rows / 95
-    oracles; the crawl suite sits at 30-38, the new dedup rows at
-    39-48, and d1 stays in-window at 49. s5_utxo_explode and
-    f2_url_canonicalize (driver-green r5, unchanged) are demoted to
+    flip-signed left/right mean invariant). Gate is now 100 rows / 97
+    oracles; the crawl suite sits at 28-36, the new dedup rows at
+    37-48, and d1 stays in-window at 49. s5_utxo_explode,
+    f2_url_canonicalize, f10_html_strip and s12_trace_flatten
+    (driver-green r5, unchanged) are demoted to
     the very end via _WINDOW_DEMOTE to free their slots; the growth
     also pushes d2-d6, sim_ann_topk (full oracles), sim_ann_lsh_recall
     and sim_ann_ivf_trained (self-checking), t1-t4 and s1_keyset_scan

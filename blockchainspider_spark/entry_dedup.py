@@ -776,6 +776,64 @@ def q_t10_stratified_sample_sql():
     """
 
 
+def q_t11_mojibake(spark, sf_dir):
+    """Encoding-damage detection (operators/dedup.mojibake_score):
+    plant UTF-8-as-Latin-1 artifacts ('Ã©', 'Â·', 'â€”') into every
+    11th doc of the clean synthetic corpus, then count artifacts,
+    density, and the 1-per-200-chars clean verdict."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat("text", F.lit(" smÃ©ared Â· dashâ€” end")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.mojibake_score(planted)
+
+
+def q_t11_mojibake_sql():
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' smÃ©ared Â· dashâ€” end'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{D.MOJIBAKE_PATTERN}'))::BIGINT AS n_mojibake,
+           round(len(regexp_extract_all(text, '{D.MOJIBAKE_PATTERN}'))::DOUBLE
+                 / greatest(length(text), 1) + 1e-9, 6) AS mojibake_density,
+           len(regexp_extract_all(text, '{D.MOJIBAKE_PATTERN}')) * 200
+             <= length(text) AS clean
+    FROM planted
+    """
+
+
+def q_t12_lm_score(spark, sf_dir):
+    """Unigram-LM quality scoring (operators/dedup.lm_quality_score,
+    self-trained): per-doc mean -log2 p(token) under the corpus's own
+    unigram distribution — the distributable core of CCNet's LM
+    filter. Every token is in the self-trained vocab, so the backoff
+    branch is exercised by the unit test, not here."""
+    return D.lm_quality_score(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_t12_lm_score_sql():
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    v AS (SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS total FROM v)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(-log2(v.c / tot.total)) + 1e-9, 6) AS bits_per_token
+    FROM toks JOIN v USING (tok), tot
+    GROUP BY doc_id
+    """
+
+
 # Rows NEW or CHANGED this round must sit inside the driver's first-50
 # adjudication window (see the __spark_entry__._collect_suites ledger).
 # This suite starts around global position 40, so only its first ~10
@@ -793,6 +851,8 @@ _WINDOW_FIRST = [
     "t8_decontaminate",
     "t9_mix_rates",
     "t10_stratified_sample",
+    "t11_mojibake",
+    "t12_lm_score",
 ]
 
 

@@ -950,3 +950,65 @@ def stratified_sample(
     thresh = F.coalesce(m[F.col(source_col)], F.lit(int(default_ppm)))
     bucket = F.pmod(hash60(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000))
     return docs.where(bucket < thresh)
+
+
+# UTF-8-decoded-as-Latin-1 artifact prefixes: every multibyte UTF-8
+# sequence mis-decoded as Latin-1/cp1252 starts with one of these
+# (0xC3 'Ã', 0xC2 'Â', or 0xE2 0x80 'â€' for the punctuation block).
+MOJIBAKE_PATTERN = "(Ã.|â€.|Â.)"
+
+
+def mojibake_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Encoding-damage detector: count UTF-8-as-Latin-1 artifact
+    sequences (the CCNet/OSCAR cleanup family) and flag docs above a
+    1-per-200-chars density. Pure regexp projection — zero shuffle,
+    same scale posture as redact_pii. Pattern is in the Java-regex ∩
+    RE2 subset (alternation + dot only) for an exact DuckDB twin.
+    """
+    t = F.col(text_col)
+    n = F.size(F.regexp_extract_all(t, F.lit(MOJIBAKE_PATTERN), F.lit(0))).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_mojibake"),
+        F.round(n / F.greatest(F.length(t), F.lit(1)) + 1e-9, 6).alias("mojibake_density"),
+        (n * 200 <= F.length(t)).alias("clean"),
+    )
+
+
+def lm_quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Unigram-LM quality score (the distributable core of CCNet's LM
+    filter): train token frequencies on the corpus itself (or score
+    against ``vocab_df`` = (tok, p) from a reference corpus), then
+    score each doc by mean -log2 p(token), unseen tokens backing off to
+    half the rarest vocab probability (= 1/(2·total_tokens) when
+    self-trained). Lower = more typical of the corpus.
+
+    Scale shape: training is one map-side-combined (token) count — the
+    shuffle carries |vocab| rows; scoring joins the token stream
+    against the vocab (broadcast: a unigram vocab is MBs even at 100 TB
+    corpus scale) and folds per doc with one keys-only agg. The
+    corpus's token stream itself never shuffles.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("tok"),
+    )
+    if vocab_df is None:
+        counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+        total = counts.agg(F.sum("c").cast("double").alias("total"))
+        vocab_df = counts.crossJoin(F.broadcast(total)).select(
+            "tok", (F.col("c") / F.col("total")).alias("p")
+        )
+    backoff = vocab_df.agg((F.min("p") / 2).alias("p_bo"))
+    scored = (
+        toks.join(F.broadcast(vocab_df), "tok", "left")
+        .crossJoin(F.broadcast(backoff))
+        .select("doc", F.coalesce(-F.log2("p"), -F.log2("p_bo")).alias("bits"))
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("bits") + 1e-9, 6).alias("bits_per_token"),
+    ).select(F.col("doc").alias(id_col), "n_tokens", "bits_per_token")

@@ -504,3 +504,45 @@ def test_stratified_sample_exact_set(spark):
 
     all_c = {r.doc_id for r in D.stratified_sample(d, rates, default_ppm=1_000_000).collect()}
     assert all_c == expect | {i for i, s in rows if s == "c"}
+
+
+def test_mojibake_score_boundary(spark):
+    """Artifact counting and the 1-per-200-chars verdict, including the
+    exact boundary (n*200 == length is still clean)."""
+    pad = "x" * 196  # 'Ã©' is 2 chars + 196 + 2 spaces = 200 chars, 1 artifact
+    docs = [
+        (0, "perfectly clean ascii text"),
+        (1, f" Ã© {pad}"),            # exactly at the boundary: clean
+        (2, "Ã© short"),              # way over density: dirty
+        (3, "café real utf-8 is fine"),  # lone é is NOT an artifact
+    ]
+    out = {r.doc_id: r for r in D.mojibake_score(
+        spark.createDataFrame(docs, "doc_id int, text string")).collect()}
+    assert out[0].n_mojibake == 0 and out[0].clean is True
+    assert out[1].n_mojibake == 1 and len(docs[1][1]) == 200 and out[1].clean is True
+    assert out[2].n_mojibake == 1 and out[2].clean is False
+    assert out[3].n_mojibake == 0
+
+
+def test_lm_quality_score_self_and_external_vocab(spark):
+    """Self-trained: common-token docs score fewer bits than rare-token
+    docs, values match a closed-form recomputation; external vocab:
+    unseen tokens hit the min(p)/2 backoff."""
+    import math
+
+    docs = [(0, "a a a a"), (1, "a a b b"), (2, "c a a a")]
+    # corpus: a×9, b×2, c×1, total 12
+    d = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.doc_id: r for r in D.lm_quality_score(d).collect()}
+    bits = lambda p: -math.log2(p)
+    assert out[0].bits_per_token == pytest.approx(bits(9 / 12), abs=1e-5)
+    assert out[1].bits_per_token == pytest.approx((2 * bits(9/12) + 2 * bits(2/12)) / 4, abs=1e-5)
+    assert out[2].bits_per_token == pytest.approx((bits(1/12) + 3 * bits(9/12)) / 4, abs=1e-5)
+    # the all-common doc scores strictly fewer bits than any mixed doc
+    assert out[0].bits_per_token < min(out[1].bits_per_token, out[2].bits_per_token)
+    assert out[0].n_tokens == 4
+
+    vocab = spark.createDataFrame([("a", 0.5), ("b", 0.25)], "tok string, p double")
+    ext = {r.doc_id: r.bits_per_token for r in D.lm_quality_score(d, vocab_df=vocab).collect()}
+    # 'c' is unseen → backoff p = min(p)/2 = 0.125
+    assert ext[2] == pytest.approx((bits(0.125) + 3 * bits(0.5)) / 4, abs=1e-5)
