@@ -997,17 +997,33 @@ def lm_quality_score(
         F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("tok"),
     )
     if vocab_df is None:
-        counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-        total = counts.agg(F.sum("c").cast("double").alias("total"))
-        vocab_df = counts.crossJoin(F.broadcast(total)).select(
-            "tok", (F.col("c") / F.col("total")).alias("p")
+        # persist the (small, vocab-sized) count table: its lineage is a
+        # full-corpus scan+shuffle, and it feeds BOTH the scalar
+        # total/backoff aggregate and the scoring join — without the
+        # persist the plan recomputes that corpus pass per consumer
+        counts = toks.groupBy("tok").agg(F.count("*").alias("c")).persist()
+        stats = counts.agg(
+            F.sum("c").cast("double").alias("total"),
+            (F.min("c") / 2.0).alias("min_c_half"),
         )
-    backoff = vocab_df.agg((F.min("p") / 2).alias("p_bo"))
-    scored = (
-        toks.join(F.broadcast(vocab_df), "tok", "left")
-        .crossJoin(F.broadcast(backoff))
-        .select("doc", F.coalesce(-F.log2("p"), -F.log2("p_bo")).alias("bits"))
-    )
+        scored = (
+            toks.join(F.broadcast(counts), "tok", "left")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc",
+                F.coalesce(
+                    -F.log2(F.col("c") / F.col("total")),
+                    -F.log2(F.col("min_c_half") / F.col("total")),
+                ).alias("bits"),
+            )
+        )
+    else:
+        backoff = vocab_df.agg((F.min("p") / 2).alias("p_bo"))
+        scored = (
+            toks.join(F.broadcast(vocab_df), "tok", "left")
+            .crossJoin(F.broadcast(backoff))
+            .select("doc", F.coalesce(-F.log2("p"), -F.log2("p_bo")).alias("bits"))
+        )
     return scored.groupBy("doc").agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(F.avg("bits") + 1e-9, 6).alias("bits_per_token"),
