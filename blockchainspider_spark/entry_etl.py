@@ -935,14 +935,15 @@ def q_mm_image_jpeg(spark, sf_dir):
     4:2:0 subsampling, even 4:4:4), decode through the public payload
     dispatch AND the multimodal feature operator, and emit the
     invariants the oracle can state analytically: dims survive, PSNR ≥
-    40 dB (BASELINE.json payload contract), the codec is genuinely
+    40 dB (BASELINE.json payload contract), SSIM ≥ 0.95 (structural
+    damage, complementing pointwise PSNR), the codec is genuinely
     lossy, and the decoded channel mean sits within 1 LSB of the
     original's closed form. SELF-CHECKING: raises if any row violates a
     floor, so a green row certifies quality, not execution."""
     import numpy as np
     import pandas as pd
 
-    from blockchainspider_spark.functions.imagecodec import decode, psnr
+    from blockchainspider_spark.functions.imagecodec import decode, psnr, ssim
     from blockchainspider_spark.functions.jpegcodec import jpeg_encode
     from blockchainspider_spark.operators.multimodal import image_features
 
@@ -951,7 +952,7 @@ def q_mm_image_jpeg(spark, sf_dir):
     def build(batches):
         for pdf in batches:
             out = {"image_id": [], "bytes": [], "fmt": [],
-                   "psnr_db": [], "mean_r_true": []}
+                   "psnr_db": [], "ssim_v": [], "mean_r_true": []}
             for did in pdf["doc_id"]:
                 did = int(did)
                 yy, xx = np.mgrid[0:16, 0:16]
@@ -966,29 +967,33 @@ def q_mm_image_jpeg(spark, sf_dir):
                 out["bytes"].append(data)
                 out["fmt"].append("jpeg")
                 out["psnr_db"].append(psnr(px, dec))
+                out["ssim_v"].append(ssim(px, dec))
                 out["mean_r_true"].append(did * 2 + 15.0)
             yield pd.DataFrame(out)
 
     images = d.mapInPandas(
         build,
         "image_id string, bytes binary, fmt string, psnr_db double, "
-        "mean_r_true double",
+        "ssim_v double, mean_r_true double",
     )
     feats = image_features(images.select("image_id", "bytes", "fmt"))
     res = (
-        feats.join(images.select("image_id", "psnr_db", "mean_r_true"),
+        feats.join(images.select("image_id", "psnr_db", "ssim_v", "mean_r_true"),
                    on="image_id")
         .select(
             "image_id", "w", "h",
             (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
             (~F.isnull("psnr_db") & (F.col("psnr_db") != float("inf"))).alias("lossy"),
+            (F.col("ssim_v") >= 0.95).alias("ssim_ok"),
             (F.abs(F.col("mean_r") - F.col("mean_r_true")) < 1.0).alias("mean_r_close"),
         )
     )
-    bad = res.where(~F.col("psnr_ok") | ~F.col("lossy") | ~F.col("mean_r_close")).count()
+    bad = res.where(
+        ~F.col("psnr_ok") | ~F.col("lossy") | ~F.col("ssim_ok") | ~F.col("mean_r_close")
+    ).count()
     if bad:
         raise AssertionError(
-            f"mm_image_jpeg: {bad} images violate the PSNR≥40/lossy/"
+            f"mm_image_jpeg: {bad} images violate the PSNR≥40/lossy/SSIM≥0.95/"
             "mean-parity floors — real-JPEG payload contract broken"
         )
     return res
@@ -998,7 +1003,7 @@ def q_mm_image_jpeg_sql():
     return """
     SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
            CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
-           TRUE AS psnr_ok, TRUE AS lossy, TRUE AS mean_r_close
+           TRUE AS psnr_ok, TRUE AS lossy, TRUE AS ssim_ok, TRUE AS mean_r_close
     FROM documents WHERE doc_id < 80
     """
 

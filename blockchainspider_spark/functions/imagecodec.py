@@ -153,6 +153,38 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
+def ssim(a: np.ndarray, b: np.ndarray, win: int = 8) -> float:
+    """Mean structural similarity (Wang et al. 2004) over non-overlapping
+    ``win``×``win`` luma blocks with the standard constants
+    C1=(0.01·255)², C2=(0.03·255)². Color inputs are converted to the
+    same BT.601 luma as image_features; trailing partial blocks are
+    dropped (inputs here are multiples of 8). Complements psnr() for
+    codec gates: PSNR measures pointwise error, SSIM structural damage.
+    """
+    if a.shape != b.shape:
+        raise ValueError(f"ssim: shape mismatch {a.shape} vs {b.shape}")
+    luma = np.array([0.299, 0.587, 0.114])
+    ya = a.astype(np.float64) @ luma if a.ndim == 3 else a.astype(np.float64)
+    yb = b.astype(np.float64) @ luma if b.ndim == 3 else b.astype(np.float64)
+    h, w = ya.shape
+    bh, bw = h // win, w // win
+    if bh == 0 or bw == 0:
+        raise ValueError(f"ssim: image {w}x{h} smaller than the {win}x{win} window")
+    pa = ya[: bh * win, : bw * win].reshape(bh, win, bw, win).transpose(0, 2, 1, 3)
+    pb = yb[: bh * win, : bw * win].reshape(bh, win, bw, win).transpose(0, 2, 1, 3)
+    pa = pa.reshape(bh * bw, -1)
+    pb = pb.reshape(bh * bw, -1)
+    mu_a, mu_b = pa.mean(axis=1), pb.mean(axis=1)
+    va = pa.var(axis=1)
+    vb = pb.var(axis=1)
+    cov = ((pa - mu_a[:, None]) * (pb - mu_b[:, None])).mean(axis=1)
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+    )
+    return float(s.mean())
+
+
 def _dct_matrix(n: int) -> np.ndarray:
     k = np.arange(n)[:, None]
     i = np.arange(n)[None, :]

@@ -81,3 +81,39 @@ def test_phash_locality():
 def test_decode_unknown_format_gated():
     with pytest.raises(NotImplementedError):
         C.decode(b"xxxx", "webp")
+
+
+def test_ssim_identity_shift_and_noise():
+    """SSIM pins: 1.0 on identity; the constant-shift case matches the
+    closed-form luminance-only degradation; noise strictly degrades it
+    and real JPEG keeps it high; shape/size misuse raises."""
+    import numpy as np
+    import pytest
+
+    from blockchainspider_spark.functions.imagecodec import ssim
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(30, 220, (32, 32, 3), np.uint8)
+    assert ssim(img, img) == pytest.approx(1.0, abs=1e-12)
+
+    # constant gray shift: variance/covariance terms cancel, leaving the
+    # per-block luminance factor (2 mu (mu+d) + C1) / (mu^2 + (mu+d)^2 + C1)
+    gray = rng.integers(40, 200, (16, 16)).astype(np.float64)
+    d = 20.0
+    mu = gray.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3).reshape(4, -1).mean(axis=1)
+    c1 = (0.01 * 255) ** 2
+    want = ((2 * mu * (mu + d) + c1) / (mu**2 + (mu + d) ** 2 + c1)).mean()
+    assert ssim(gray, gray + d) == pytest.approx(want, abs=1e-12)
+
+    noisy = np.clip(img.astype(np.int32) + rng.integers(-25, 26, img.shape), 0, 255).astype(np.uint8)
+    assert 0.3 < ssim(img, noisy) < 0.995
+
+    from blockchainspider_spark.functions.jpegcodec import jpeg_decode, jpeg_encode
+    jp = jpeg_decode(jpeg_encode(img, quality=95))
+    assert ssim(img, jp) > ssim(img, noisy)
+    assert ssim(img, jp) > 0.97
+
+    with pytest.raises(ValueError, match="mismatch"):
+        ssim(img, img[:16])
+    with pytest.raises(ValueError, match="smaller"):
+        ssim(img[:4, :4], img[:4, :4])
