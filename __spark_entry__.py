@@ -90,11 +90,12 @@ def _collect_suites(idx: int) -> dict:
     oracle), t10_stratified_sample (46: integer-ppm deterministic
     sampling, full oracle), t11_mojibake (47: encoding-damage
     detection, full oracle), t12_lm_score (48: unigram-LM quality
-    scoring, full oracle) — plus mm_image_augment (29: seeded md5
+    scoring, full oracle), t13_pack_sequences (49: training-sequence
+    packing, full window-function oracle) — plus mm_image_augment (29: seeded md5
     crop+flip augmentation, full closed-form oracle incl. the
-    flip-signed left/right mean invariant). Gate is now 100 rows / 97
-    oracles; the crawl suite sits at 28-36, the new dedup rows at
-    37-48, and d1 stays in-window at 49. s5_utxo_explode,
+    flip-signed left/right mean invariant). Gate is now 101 rows / 98
+    oracles; the crawl suite sits at 28-36 and the new dedup rows
+    fill 37-49 — every in-window dedup slot is a round-6 row. s5_utxo_explode,
     f2_url_canonicalize, f10_html_strip and s12_trace_flatten
     (driver-green r5, unchanged) are demoted to
     the very end via _WINDOW_DEMOTE to free their slots; the growth

@@ -834,6 +834,38 @@ def q_t12_lm_score_sql():
     """
 
 
+def q_t13_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (operators/dedup.pack_sequences):
+    shard by portable id-hash, pack each shard's token stream into
+    128-token bins — start offset, bin, position, bins spanned. Pure
+    integer arithmetic, so the window-function oracle is exact."""
+    return D.pack_sequences(_docs(spark, sf_dir).select("doc_id", "text"), seq_len=128)
+
+
+def q_t13_pack_sequences_sql():
+    return """
+    WITH base AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR || '#shard'), 1, 15))::BIGINT
+              % 16)::INTEGER AS shard,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM base WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum - n_tokens AS start_off,
+           (cum - n_tokens) // 128 AS bin,
+           (cum - n_tokens) % 128 AS pos_in_bin,
+           ((cum - 1) // 128 - (cum - n_tokens) // 128 + 1) AS n_bins_spanned
+    FROM c
+    """
+
+
 # Rows NEW or CHANGED this round must sit inside the driver's first-50
 # adjudication window (see the __spark_entry__._collect_suites ledger).
 # This suite starts around global position 40, so only its first ~10
@@ -853,6 +885,7 @@ _WINDOW_FIRST = [
     "t10_stratified_sample",
     "t11_mojibake",
     "t12_lm_score",
+    "t13_pack_sequences",
 ]
 
 

@@ -1028,3 +1028,48 @@ def lm_quality_score(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(F.avg("bits") + 1e-9, 6).alias("bits_per_token"),
     ).select(F.col("doc").alias(id_col), "n_tokens", "bits_per_token")
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 1024, n_shards: int = 16,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing: assign each doc a position in a
+    contiguous token stream and the ``seq_len``-token bin its first
+    token lands in (the fill-and-wrap packing LM dataloaders use).
+    Entirely integer arithmetic over a deterministic order, so the
+    layout is reproducible and SQL-twinned exactly.
+
+    Docs are sharded by portable id-hash; packing is independent per
+    shard (bins never span shards). Per doc: ``start_off`` = tokens before
+    it in its shard stream, ``bin`` = start_off // seq_len,
+    ``pos_in_bin`` = start_off % seq_len, ``n_bins_spanned`` = how many bins the doc
+    crosses (real loaders split those at the boundary).
+
+    Scale shape: the running sum is a window per shard — one task per
+    shard, so ``n_shards`` IS the parallelism knob (at cluster scale
+    use O(10×cores) shards; each task holds only its shard's (id,
+    n_tokens) pairs, never text). One hash-partition exchange of
+    8-byte-a-row data; the text column is dropped before the shuffle.
+    """
+    n_toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(hash60(F.col(id_col).cast("string"), seed="shard"), F.lit(n_shards))
+        .cast("int").alias("shard"),
+        n_toks.cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_off"),
+        F.floor((cum - F.col("n_tokens")) / seq_len).cast("long").alias("bin"),
+        F.pmod(cum - F.col("n_tokens"), F.lit(seq_len)).cast("long").alias("pos_in_bin"),
+        (F.floor((cum - 1) / seq_len) - F.floor((cum - F.col("n_tokens")) / seq_len) + 1)
+        .cast("long").alias("n_bins_spanned"),
+    )

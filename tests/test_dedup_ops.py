@@ -546,3 +546,23 @@ def test_lm_quality_score_self_and_external_vocab(spark):
     ext = {r.doc_id: r.bits_per_token for r in D.lm_quality_score(d, vocab_df=vocab).collect()}
     # 'c' is unseen → backoff p = min(p)/2 = 0.125
     assert ext[2] == pytest.approx((bits(0.125) + 3 * bits(0.5)) / 4, abs=1e-5)
+
+
+def test_pack_sequences_contiguity_and_spans(spark):
+    """Per shard the stream is gap-free in doc_id order, bins derive
+    from start offsets exactly, span counts match the boundary math,
+    and empty docs are excluded."""
+    rows = [(i, "w " * ((i % 7) + 1)) for i in range(60)] + [(100, ""), (101, "  ")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    out = D.pack_sequences(d, seq_len=10, n_shards=4).collect()
+    assert {r.doc_id for r in out} == set(range(60))  # empties dropped
+
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        cur = by_shard.setdefault(r.shard, 0)
+        assert r.start_off == cur, f"gap in shard {r.shard} at doc {r.doc_id}"
+        assert r.bin == cur // 10 and r.pos_in_bin == cur % 10
+        end = cur + r.n_tokens - 1
+        assert r.n_bins_spanned == end // 10 - cur // 10 + 1
+        by_shard[r.shard] = cur + r.n_tokens
+    assert len(by_shard) > 1  # hash sharding actually spread the docs
