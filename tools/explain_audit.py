@@ -214,6 +214,54 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
           and "Scan ExistingRDD" in plan)
     results.append(("d10 dedup groups (checkpoint-truncated final round, "
                     "no Python eval)", plan, ["HashAggregate", "Scan ExistingRDD"], ok))
+
+    # round-6 PII redaction + mojibake + hash split: all three must be
+    # ZERO-exchange codegen projections — free columns on the scan
+    from blockchainspider_spark.operators.dedup import (
+        decontaminate, hash_split, lm_quality_score, mojibake_score,
+        pack_sequences, redact_pii,
+    )
+
+    for nm, out in [("t7 redact_pii", redact_pii(docs)),
+                    ("t11 mojibake_score", mojibake_score(docs)),
+                    ("t6 hash_split", hash_split(docs.select("doc_id")))]:
+        plan = plan_of(out)
+        ok = "Exchange" not in plan and "EvalPython" not in plan
+        results.append((f"{nm} (zero-shuffle codegen projection)", plan,
+                        ["Project"], ok))
+
+    # round-6 decontamination: the benchmark gram set is the BROADCAST
+    # side; the corpus token stream must reach the join without any
+    # hash-partition exchange of its own (scan → explode → join)
+    bench = docs.limit(5)
+    dec = decontaminate(docs, bench, n=8)
+    plan = plan_of(dec)
+    ok = "BroadcastHashJoin" in plan and "EvalPython" not in plan
+    results.append(("t8 decontaminate (broadcast bench grams, corpus side "
+                    "unshuffled into the join)", plan, ["BroadcastHashJoin"], ok))
+
+    # round-6 LM scoring: the persisted vocab must be REUSED (InMemory
+    # scans), not recomputed per consumer — and scoring joins broadcast
+    lm = lm_quality_score(docs)
+    plan = plan_of(lm)
+    ok = ("InMemoryTableScan" in plan and "BroadcastHashJoin" in plan
+          and "EvalPython" not in plan)
+    results.append(("t12 lm_quality_score (persisted vocab reused via "
+                    "InMemoryTableScan, broadcast scoring join)", plan,
+                    ["InMemoryTableScan", "BroadcastHashJoin"], ok))
+
+    # round-6 sequence packing: exactly one exchange (the shard
+    # partition for the window); the text column must be pruned before
+    # it — the shuffle carries (id, shard, n_tokens) only
+    pk = pack_sequences(docs, seq_len=64, n_shards=4)
+    plan = plan_of(pk)
+    n_ex = sum("Exchange" in ln and "Reused" not in ln
+               for ln in plan.splitlines() if ln.strip().startswith("("))
+    shuffled_text = "text" in plan.split("Window")[0].split("Exchange")[-1][:400]
+    ok = ("Window" in plan and n_ex <= 1 and not shuffled_text
+          and "EvalPython" not in plan)
+    results.append(("t13 pack_sequences (one shard exchange, text pruned "
+                    "pre-shuffle, windowed cumsum)", plan, ["Window"], ok))
     return results
 
 
