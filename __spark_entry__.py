@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_entry.py runs logged each round.
 _WINDOW_DEMOTE = [
     "s5_utxo_explode", "f2_url_canonicalize",
-    "f10_html_strip", "s12_trace_flatten",
+    "f10_html_strip", "s12_trace_flatten", "s19_scamdb_feed",
 ]
 
 
@@ -93,13 +93,17 @@ def _collect_suites(idx: int) -> dict:
     scoring, full oracle), t13_pack_sequences (49: training-sequence
     packing, full window-function oracle) — plus mm_image_augment (29: seeded md5
     crop+flip augmentation, full closed-form oracle incl. the
-    flip-signed left/right mean invariant). Gate is now 101 rows / 98
-    oracles; the crawl suite sits at 28-36 and the new dedup rows
-    fill 37-49 — every in-window dedup slot is a round-6 row. s5_utxo_explode,
-    f2_url_canonicalize, f10_html_strip and s12_trace_flatten
+    flip-signed left/right mean invariant). Round 6 also adds mm_image_gif (27: REAL GIF87a/LZW
+    codec round-trip through the payload dispatch, closed-form full
+    oracle — functions/gifcodec.py, pinned on the spec's 1x1 LZW
+    vector). Gate is now 102 rows / 99 oracles; the crawl suite sits
+    at 29-37 and the new dedup rows fill 38-49 — every in-window
+    dedup slot is a round-6 row; d1-d6 (driver-green r5) sit just
+    past the cut. s5_utxo_explode, f2_url_canonicalize,
+    f10_html_strip, s12_trace_flatten and s19_scamdb_feed
     (driver-green r5, unchanged) are demoted to
     the very end via _WINDOW_DEMOTE to free their slots; the growth
-    also pushes d2-d6, sim_ann_topk (full oracles), sim_ann_lsh_recall
+    also pushes d1-d6, sim_ann_topk (full oracles), sim_ann_lsh_recall
     and sim_ann_ivf_trained (self-checking), t1-t4 and s1_keyset_scan
     (all driver-green in r5) just past the cut. The
     rotated-out tail was driver-green in earlier rounds and stays

@@ -1495,6 +1495,58 @@ def q_mm_image_augment_sql():
     """
 
 
+def q_mm_image_gif(spark, sf_dir):
+    """Real-GIF payload gate (round 6 — functions/gifcodec.py: LZW
+    with variable-width codes, hand-pinned against the spec's 1×1
+    vector): per doc a two-color checkerboard → GIF87a encode → the
+    public payload dispatch + image_features. GIF is lossless, so the
+    channel means and the constant two-level gray std are closed-form
+    for DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.gifcodec import gif_encode
+    from blockchainspider_spark.operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pal = np.array(
+                    [[3 * did, 2 * did, did], [3 * did + 60, 2 * did + 40, did + 20]],
+                    np.uint8,
+                )
+                img = pal[np.indices((16, 16)).sum(axis=0) % 2]
+                out["image_id"].append(f"doc-{did}")
+                out["bytes"].append(gif_encode(img))
+                out["fmt"].append("gif")
+            yield pd.DataFrame(out)
+
+    images = d.mapInPandas(build, "image_id string, bytes binary, fmt string")
+    return image_features(images).select(
+        "image_id", "w", "h",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_gray", 4).alias("std_gray"),
+    )
+
+
+def q_mm_image_gif_sql():
+    return """
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+           round(CAST(3 * doc_id + 30.0 AS DOUBLE), 4) AS mean_r,
+           round(CAST(2 * doc_id + 20.0 AS DOUBLE), 4) AS mean_g,
+           round(CAST(doc_id + 10.0 AS DOUBLE), 4) AS mean_b,
+           round(CAST((0.299 * 60 + 0.587 * 40 + 0.114 * 20) / 2 AS DOUBLE), 4) AS std_gray
+    FROM documents WHERE doc_id < 64
+    """
+
+
 def build_etl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

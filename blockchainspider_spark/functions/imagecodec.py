@@ -141,6 +141,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         if data[:4] == _QJPEG_MAGIC:  # legacy r≤5 synthetic fixtures
             return qjpeg_decode(data)
         raise ValueError("jpeg payload is neither JFIF nor legacy qjpeg")
+    if fmt == "gif":  # real LZW codec (round 6)
+        from blockchainspider_spark.functions.gifcodec import gif_decode
+
+        return gif_decode(data)
     raise NotImplementedError(f"image format {fmt!r}: real decoder not in container")
 
 

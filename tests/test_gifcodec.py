@@ -1,0 +1,107 @@
+"""GIF codec pins: spec byte vectors, lossless round-trips, loud gates."""
+
+import numpy as np
+import pytest
+
+from blockchainspider_spark.functions.gifcodec import (
+    GifError,
+    _lzw_decode,
+    _lzw_encode,
+    gif_decode,
+    gif_encode,
+)
+
+
+def test_lzw_known_vector_1x1():
+    """The classic 1×1 vector: mcs=2, codes clear(100) 01(001) eoi(101)
+    packed LSB-first = 0x4C 0x01 — derivable by hand from the spec."""
+    assert _lzw_encode(np.array([1], np.uint8), 2) == b"\x4c\x01"
+    assert _lzw_decode(b"\x4c\x01", 2) == b"\x01"
+
+
+def test_lzw_roundtrip_and_kwkwk():
+    rng = np.random.default_rng(3)
+    for n, alpha in [(10, 2), (1000, 4), (20000, 16), (5000, 256)]:
+        mcs = max(2, (alpha - 1).bit_length() or 1)
+        idx = rng.integers(0, alpha, n).astype(np.uint8)
+        assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == idx.tobytes()
+    # KwKwK: 'ababab…' forces the code==len(table) branch
+    idx = np.array([0, 1] * 50, np.uint8)
+    assert _lzw_decode(_lzw_encode(idx, 2), 2) == idx.tobytes()
+
+
+def test_lzw_dictionary_overflow_resets():
+    """>4096 distinct phrases force the mid-stream clear/reset path."""
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, 60000).astype(np.uint8)
+    assert _lzw_decode(_lzw_encode(idx, 8), 8) == idx.tobytes()
+
+
+def test_gif_roundtrip_exact():
+    """GIF is lossless for ≤256-color images: bit-exact round-trip at
+    several sizes/palettes, including non-square and single-color."""
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (17, 3), np.uint8)
+    img = pal[rng.integers(0, 17, (24, 31))]
+    assert (gif_decode(gif_encode(img)) == img).all()
+
+    mono = np.full((8, 8, 3), 77, np.uint8)
+    assert (gif_decode(gif_encode(mono)) == mono).all()
+
+    big_pal = rng.integers(0, 256, (256, 3), np.uint8)
+    img2 = big_pal[rng.integers(0, 256, (40, 40))]
+    assert (gif_decode(gif_encode(img2)) == img2).all()
+
+
+def test_gif_header_and_structure():
+    img = np.zeros((2, 3, 3), np.uint8)
+    data = gif_encode(img)
+    assert data[:6] == b"GIF87a"
+    assert data[-1:] == b"\x3b"
+    import struct
+    w, h = struct.unpack("<HH", data[6:10])
+    assert (w, h) == (3, 2)
+
+
+def test_gif_89a_with_extension_decodes():
+    """89a header + a graphics-control extension before the image —
+    the decoder must skip extensions."""
+    img = np.array([[[250, 0, 0], [0, 250, 0]]], np.uint8)
+    data = bytearray(gif_encode(img))
+    data[:6] = b"GIF89a"
+    ix = bytes(data).index(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = bytes(data[:ix]) + gce + bytes(data[ix:])
+    assert (gif_decode(patched) == img).all()
+
+
+def test_gif_loud_gates():
+    rng = np.random.default_rng(1)
+    too_many = rng.integers(0, 256, (32, 32, 3), np.uint8)  # ~all distinct
+    with pytest.raises(GifError, match="quantize"):
+        gif_encode(too_many)
+    with pytest.raises(GifError, match="not a GIF"):
+        gif_decode(b"PNG whatever")
+    img = np.zeros((4, 4, 3), np.uint8)
+    data = bytearray(gif_encode(img))
+    ix = bytes(data).index(b"\x2c")
+    data[ix + 9] |= 0x40  # set the interlace flag
+    with pytest.raises(GifError, match="interlaced"):
+        gif_decode(bytes(data))
+
+
+def test_gif_through_payload_dispatch_and_features(spark):
+    """fmt='gif' flows through imagecodec.decode and image_features."""
+    import pandas as pd
+
+    from blockchainspider_spark.operators.multimodal import image_features
+
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    img = pal[np.indices((8, 8)).sum(axis=0) % 2]  # checkerboard
+    pdf = pd.DataFrame({
+        "image_id": ["g1"], "bytes": [gif_encode(img)], "fmt": ["gif"],
+    })
+    out = image_features(spark.createDataFrame(pdf)).collect()[0]
+    assert (out.w, out.h) == (8, 8)
+    assert out.mean_r == pytest.approx(img[..., 0].mean())
+    assert out.mean_b == pytest.approx(img[..., 2].mean())
