@@ -50,6 +50,11 @@ HEADLINE = [
     "d6_embedding_neardup",
     "sim_ann_topk",
     "t2_quality_score",
+    # round-6 additions: the two heaviest new text-pipeline ops (full
+    # token-stream shuffle / self-trained vocab join) — first measured
+    # in BENCH_r06, so r6 is their baseline
+    "d7_dup_spans",
+    "t12_lm_score",
 ]
 
 
