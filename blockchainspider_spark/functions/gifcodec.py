@@ -122,6 +122,51 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
         prev = entry
 
 
+def quantize_palette(pixels: np.ndarray, n_colors: int = 256) -> np.ndarray:
+    """Deterministic median-cut color quantization: the explicit opt-in
+    for gif_encode on >256-color images (the encoder itself never
+    quantizes silently). Boxes split on the widest channel at the
+    count-weighted median; each pixel maps to its box's count-weighted
+    mean. Images already within ``n_colors`` return unchanged.
+    Everything is integer/argsort arithmetic on the sorted unique-color
+    table — no RNG, so the palette is reproducible across runs.
+    """
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise GifError(f"expected HxWx3, got {pixels.shape}")
+    flat = pixels.reshape(-1, 3)
+    colors, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True
+    )
+    if len(colors) <= n_colors:
+        return pixels
+    boxes = [np.arange(len(colors))]
+    while len(boxes) < n_colors:
+        # split the box with the largest (range × count) spread
+        best, best_score = -1, -1
+        for i, b in enumerate(boxes):
+            if len(b) < 2:
+                continue
+            score = int(colors[b].ptp(axis=0).max()) * int(counts[b].sum())
+            if score > best_score:
+                best, best_score = i, score
+        if best < 0:
+            break
+        b = boxes.pop(best)
+        ch = int(colors[b].ptp(axis=0).argmax())
+        order = b[np.argsort(colors[b, ch], kind="stable")]
+        cum = np.cumsum(counts[order])
+        cut = int(np.searchsorted(cum, cum[-1] / 2)) + 1
+        cut = min(max(cut, 1), len(order) - 1)
+        boxes += [order[:cut], order[cut:]]
+    color_to_box = np.empty(len(colors), np.int32)
+    pal = np.empty((len(boxes), 3), np.uint8)
+    for i, b in enumerate(boxes):
+        color_to_box[b] = i
+        w = counts[b].astype(np.float64)
+        pal[i] = np.clip(np.round((colors[b] * w[:, None]).sum(0) / w.sum()), 0, 255)
+    return pal[color_to_box[inverse]].reshape(pixels.shape)
+
+
 def gif_encode(pixels: np.ndarray) -> bytes:
     """uint8 HxWx3 → single-frame non-interlaced GIF87a. Lossless: the
     palette is the exact distinct-color set (≤256 or GifError)."""

@@ -105,3 +105,28 @@ def test_gif_through_payload_dispatch_and_features(spark):
     assert (out.w, out.h) == (8, 8)
     assert out.mean_r == pytest.approx(img[..., 0].mean())
     assert out.mean_b == pytest.approx(img[..., 2].mean())
+
+
+def test_quantize_palette_bounds_and_determinism():
+    """Median-cut: ≤n output colors, identity under the budget, bounded
+    per-pixel error on a smooth gradient, deterministic reruns, and the
+    quantize→encode pipeline round-trips losslessly from there."""
+    rng = np.random.default_rng(7)
+    from blockchainspider_spark.functions.gifcodec import quantize_palette
+
+    img = rng.integers(0, 256, (48, 48, 3), np.uint8)  # ~2300 distinct colors
+    q = quantize_palette(img, 256)
+    uniq = np.unique(q.reshape(-1, 3), axis=0)
+    assert len(uniq) <= 256
+    assert (q == quantize_palette(img, 256)).all()  # deterministic
+    assert (gif_decode(gif_encode(q)) == q).all()
+
+    small = np.zeros((4, 4, 3), np.uint8)
+    small[0, 0] = 200
+    assert quantize_palette(small, 256) is small  # identity short-circuit
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    grad = np.stack([4 * (xx // 2), 4 * (yy // 2), np.zeros_like(xx)], -1).astype(np.uint8)
+    qg = quantize_palette(grad, 64)
+    err = np.abs(qg.astype(int) - grad.astype(int)).max()
+    assert err <= 64  # a 1024-color smooth ramp into 64 boxes stays close
