@@ -7,9 +7,20 @@ semantics running on the independent golden oracle (Haircut, TTRBase,
 TTRWeight, TTRTime) or the shared numeric core (TTRRedirect — there the
 Spark-side machinery under test is the top-k selection, fk tiebreak,
 chip-merge fold and mid-wave state isolation, which is everything k>1
-changes). Contract: identical pop sequence AND 1e-9 rank parity at
-natural termination. APPR keeps its documented Jacobi divergence
-envelope (see tests/test_property_wave.py) — asserted here at k>1.
+changes). Contract: identical per-wave pop SETS and wave count, AND
+1e-9 rank parity at natural termination. Intra-wave pop ORDER is
+deliberately not asserted: within one wave, mathematically-tied
+residuals are ordered by the engine's (r desc, fk) sort, and the float
+noise of the distributed sum can flip which tied value compares larger
+run-to-run (observed live: a {n0,n4} same-wave swap that replayed green
+4/6 on the identical stored example). The documented batch contract —
+all k pops read pre-wave state, gains wait a wave — fixes the SET a
+wave pops and the post-wave state (pushes commute within a wave), not
+the seq ordering among exact ties, so the multiset is the strongest
+stable invariant. k=1 exact-sequence parity stays pinned in
+tests/test_property_wave.py. APPR keeps its documented Jacobi
+divergence envelope (see tests/test_property_wave.py) — asserted here
+at k>1.
 
 The emulation's mid-wave isolation trick: select top-k from a state
 snapshot, then push each popped node sequentially but with its state
@@ -76,7 +87,9 @@ def _topk_scalar(snap: dict, k: int, eps: float) -> list:
 
 
 def _batched_scalar_ttr(oracle, ebn: dict, k: int) -> list:
-    pops = []
+    """Per-wave pop lists (see module docstring: sets, not order, are
+    the stable invariant — callers compare multisets per wave)."""
+    waves = []
     for _ in range(MAX_WAVES):
         snap = dict(oracle.r)
         chosen = _topk_scalar(snap, k, oracle.epsilon)
@@ -87,8 +100,8 @@ def _batched_scalar_ttr(oracle, ebn: dict, k: int) -> list:
             oracle.r[node] = snap.get(node, 0.0)
             oracle.push(node, ebn.get(node, []))
             oracle.r[node] = oracle.r.get(node, 0.0) + gained
-        pops.extend(n for n, _ in chosen)
-    return pops
+        waves.append([n for n, _ in chosen])
+    return waves
 
 
 def _batched_haircut(oracle, ebn: dict, k: int) -> list:
@@ -96,7 +109,7 @@ def _batched_haircut(oracle, ebn: dict, k: int) -> list:
     # pre-visits it, so its own pop() would skip it — ExactCrawlEngine
     # seeds the pop log the same way)
     oracle.push(oracle.source, ebn.get(oracle.source, []))
-    pops = [oracle.source]
+    waves = [[oracle.source]]
     for _ in range(MAX_WAVES):
         snap = dict(oracle.weight_map)
         chosen = []
@@ -112,8 +125,8 @@ def _batched_haircut(oracle, ebn: dict, k: int) -> list:
             oracle.weight_map[node] = snap.get(node, 0.0)
             oracle.push(node, ebn.get(node, []))
             oracle.weight_map[node] = oracle.weight_map.get(node, 0.0) + gained
-        pops.extend(n for n, _ in chosen)
-    return pops
+        waves.append([n for n, _ in chosen])
+    return waves
 
 
 def _chips_gained(cur: dict, snap: dict) -> dict:
@@ -129,7 +142,7 @@ def _batched_chips(model, chips_attr: str, eps: float, ebn: dict, k: int,
     chip totals with the insertion-order tiebreak."""
     store = getattr(model, chips_attr)
     push(source, ebn.get(source, []))
-    pops = [source]
+    waves = [[source]]
     for _ in range(MAX_WAVES):
         snap = {n: dict(d) for n, d in store.items()}
         totals = {n: sum(d.values()) for n, d in snap.items()}
@@ -143,13 +156,34 @@ def _batched_chips(model, chips_attr: str, eps: float, ebn: dict, k: int,
             d = store.setdefault(node, {})
             for kk, v in gained.items():
                 d[kk] = d.get(kk, 0.0) + v
-        pops.extend(n for n, _ in chosen)
-    return pops
+        waves.append([n for n, _ in chosen])
+    return waves
 
 
-def _assert_pops_and_ranks(wave_state, want_pops, want_ranks, label):
-    got_pops = [n for _, n in wave_state.pop_log]
-    assert got_pops == want_pops, (label, got_pops, want_pops)
+def _engine_waves(pop_log_df) -> list:
+    """Engine pops grouped into per-wave lists (seq order preserved),
+    straight from the pop log's `wave` column."""
+    rows = pop_log_df.select("seq", "node", "wave").orderBy("seq").collect()
+    waves: list = []
+    last_wave = None
+    for r in rows:
+        if r.wave != last_wave:
+            waves.append([])
+            last_wave = r.wave
+        waves[-1].append(r.node)
+    return waves
+
+
+def _assert_waves(got_waves: list, want_waves: list, label) -> None:
+    """Wave count + per-wave multiset parity (module docstring: intra-
+    wave order on tied residuals is float-noise territory)."""
+    assert len(got_waves) == len(want_waves), (label, got_waves, want_waves)
+    for i, (g, w) in enumerate(zip(got_waves, want_waves)):
+        assert sorted(g) == sorted(w), (label, i, got_waves, want_waves)
+
+
+def _assert_pops_and_ranks(wave_state, want_waves, want_ranks, label):
+    _assert_waves(_engine_waves(wave_state.pop_log_df), want_waves, label)
     got = wave_state.ranks() if callable(getattr(wave_state, "ranks", None)) \
         else wave_state
     want = {n: v for n, v in want_ranks.items() if v > 0}
@@ -163,12 +197,11 @@ def _assert_pops_and_ranks(wave_state, want_pops, want_ranks, label):
 @given(edges=edge_lists())
 def test_wave_haircut_k_batched(spark, k, edges):
     oracle = HaircutOracle("n0", min_weight=5e-2)
-    want_pops = _batched_haircut(oracle, _edges_by_node(edges), k)
+    want_waves = _batched_haircut(oracle, _edges_by_node(edges), k)
     wave = HaircutWaveEngine(
         spark, spark.createDataFrame(edges), k=k, min_weight=5e-2
     ).run("n0")
-    got_pops = [n for _, n in wave.pop_log]
-    assert got_pops == want_pops, (got_pops, want_pops)
+    _assert_waves(_engine_waves(wave.pop_log_df), want_waves, ("Haircut", k))
     got = {r.node: r.weight for r in wave.node_state.collect() if r.weight > 0}
     want = {n: w for n, w in oracle.ranks().items() if w > 0}
     assert set(got) == set(want)
@@ -182,11 +215,11 @@ def test_wave_haircut_k_batched(spark, k, edges):
 def test_wave_ttr_k_batched(spark, k, weighted, edges):
     cls = TtrWeightOracle if weighted else TtrBaseOracle
     oracle = cls("n0", epsilon=EPS)
-    want_pops = _batched_scalar_ttr(oracle, _edges_by_node(edges), k)
+    want_waves = _batched_scalar_ttr(oracle, _edges_by_node(edges), k)
     wave = TtrWaveEngine(
         spark, spark.createDataFrame(edges), weighted=weighted, k=k, epsilon=EPS
     ).run("n0")
-    _assert_pops_and_ranks(wave, want_pops, oracle.ranks(), ("TTR", weighted, k))
+    _assert_pops_and_ranks(wave, want_waves, oracle.ranks(), ("TTR", weighted, k))
 
 
 @pytest.mark.parametrize("k", [2, 4])
@@ -200,14 +233,14 @@ def test_wave_ttrtime_k_batched(spark, k, edges):
     eps = 0.25
     oracle = TtrTimeOracle("n0", epsilon=eps)
     ebn = _edges_by_node(edges)
-    want_pops = _batched_chips(
+    want_waves = _batched_chips(
         oracle, "r", eps, ebn, k, "n0",
         lambda n, b: oracle.push(n, b),
     )
     wave = TtrTimeWaveEngine(
         spark, spark.createDataFrame(edges), k=k, epsilon=eps
     ).run("n0")
-    _assert_pops_and_ranks(wave, want_pops, oracle.ranks(), ("TTRTime", k))
+    _assert_pops_and_ranks(wave, want_waves, oracle.ranks(), ("TTRTime", k))
 
 
 @pytest.mark.parametrize("k", [2, 4])
@@ -226,12 +259,11 @@ def test_wave_ttrredirect_k_batched(spark, k, edges):
         )
         model.push(node, batch)
 
-    want_pops = _batched_chips(model, "chips", EPS, ebn, k, "n0", push)
+    want_waves = _batched_chips(model, "chips", EPS, ebn, k, "n0", push)
     wave = TtrRedirectWaveEngine(
         spark, spark.createDataFrame(edges), k=k, epsilon=EPS
     ).run("n0")
-    got_pops = [n for _, n in wave.pop_log]
-    assert got_pops == want_pops, (got_pops, want_pops)
+    _assert_waves(_engine_waves(wave.pop_log_df), want_waves, ("Redirect", k))
     got = wave.ranks()
     want = {n: v for n, v in model.ranks().items() if v > 0}
     assert set(got) == set(want)
