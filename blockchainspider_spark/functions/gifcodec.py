@@ -12,7 +12,8 @@ Scope, honestly stated:
   lossless round-trip contract this codec is pinned on).
 * decode — single- or multi-frame files (first frame returned),
   global/local color tables, 87a and 89a, extensions skipped,
-  transparency ignored; interlaced images raise loudly.
+  transparency ignored; interlaced images de-interlace per the spec's
+  four-pass row schedule (8/0, 8/4, 4/2, 2/1).
 * LZW per the GIF spec: variable-width codes from min_code_size+1 up
   to 12 bits, clear/EOI codes, LSB-first bit packing, 255-byte
   sub-blocks, dictionary reset on overflow; decoder handles the
@@ -229,8 +230,6 @@ def gif_decode(data: bytes) -> np.ndarray:
             raise GifError(f"unexpected block 0x{b:02x} at {pos - 1}")
         _x, _y, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise GifError("interlaced GIF: not supported (decoder is loud, not wrong)")
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -251,5 +250,21 @@ def gif_decode(data: bytes) -> np.ndarray:
             raise GifError(f"LZW stream short: {len(idx)} of {w * h} pixels")
         if (idx[: w * h] >= len(pal)).any():
             raise GifError("palette index out of range")
-        return pal[idx[: w * h]].reshape(h, w, 3)
+        img = pal[idx[: w * h]].reshape(h, w, 3)
+        if iflags & 0x40:
+            out_img = np.empty_like(img)
+            out_img[interlace_row_order(h)] = img
+            return out_img
+        return img
     raise GifError("no image descriptor found")
+
+
+def interlace_row_order(h: int) -> np.ndarray:
+    """Storage order of row indices for an interlaced image of height
+    ``h`` — the spec's four passes: every 8th row from 0, every 8th
+    from 4, every 4th from 2, every 2nd from 1. Stored row k carries
+    display row ``order[k]``, so decode is ``out[order] = stored``."""
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])

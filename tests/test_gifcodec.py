@@ -82,12 +82,28 @@ def test_gif_loud_gates():
         gif_encode(too_many)
     with pytest.raises(GifError, match="not a GIF"):
         gif_decode(b"PNG whatever")
-    img = np.zeros((4, 4, 3), np.uint8)
-    data = bytearray(gif_encode(img))
-    ix = bytes(data).index(b"\x2c")
-    data[ix + 9] |= 0x40  # set the interlace flag
-    with pytest.raises(GifError, match="interlaced"):
-        gif_decode(bytes(data))
+
+def test_gif_interlaced_decode():
+    """De-interlace pin, independent of the encoder (which only writes
+    non-interlaced): store rows pre-permuted into the spec's four-pass
+    schedule, encode THAT image plainly, flip the interlace flag in the
+    image descriptor — decode must undo the permutation. Heights cover
+    every pass-boundary shape incl. degenerate (<8 rows)."""
+    from blockchainspider_spark.functions.gifcodec import interlace_row_order
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    for h in (1, 2, 3, 5, 8, 9, 16, 17, 33):
+        img = pal[rng.integers(0, 16, (h, 6))]
+        order = interlace_row_order(h)
+        assert sorted(order.tolist()) == list(range(h))  # a permutation
+        stored = img[order]
+        data = bytearray(gif_encode(stored))
+        ix = bytes(data).index(b"\x2c")
+        data[ix + 9] |= 0x40  # mark it interlaced
+        assert (gif_decode(bytes(data)) == img).all(), h
+    # the spec's canonical pass schedule at h=8: rows 0,4,2,6,1,3,5,7
+    assert interlace_row_order(8).tolist() == [0, 4, 2, 6, 1, 3, 5, 7]
 
 
 def test_gif_through_payload_dispatch_and_features(spark):
