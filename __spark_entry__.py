@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_DEMOTE = [
     "s5_utxo_explode", "f2_url_canonicalize",
     "f10_html_strip", "s12_trace_flatten", "s19_scamdb_feed",
+    "s16_link_extract",
 ]
 
 
@@ -65,43 +66,48 @@ def _collect_suites(idx: int) -> dict:
     session), as do the NEW round-5 rows sim_ann_ivf_trained
     (self-checking trained-quantizer recall floor), mm_audio_g711 and
     mm_video_avi. Round 6 adds mm_video_mjpeg (real MJPG AVI → JPEG
-    frame decode, PSNR floor, position 20) and mm_image_jpeg (REAL
+    frame decode, PSNR floor, position 17) and mm_image_jpeg (REAL
     baseline-JFIF codec round-trip + PSNR≥40 floor + image_features
-    mean parity, position 21), both fully oracled and in-window, and
-    graduates sim_ann_lsh (position 33) from rows-only to a full
+    mean parity, position 18), both fully oracled and in-window, and
+    graduates sim_ann_lsh (position 32) from rows-only to a full
     brute-force-equality oracle, and adds sim_ann_ivf_nprobe (position
-    35, multi-probe IVF, full oracle) plus crawl_bfs_cuckoo_forget
-    (position 38: deletable cuckoo seen-filter backend, full pop-order
+    34, multi-probe IVF, full oracle) plus crawl_bfs_cuckoo_forget
+    (position 37: deletable cuckoo seen-filter backend, full pop-order
     oracle + forget()/re-crawl self-check). The dedup suite leads with
     its six NEW rows via entry_dedup._WINDOW_FIRST: d7_dup_spans
-    (position 39: substring-level exact dedup, full oracle),
-    d8_semantic_dedup (40: SemDeDup cluster-then-neardup, full oracle
-    — the scale path of d6), d9_phash_neardup (41: perceptual-hash
+    (position 38: substring-level exact dedup, full oracle),
+    d8_semantic_dedup (39: SemDeDup cluster-then-neardup, full oracle
+    — the scale path of d6), d9_phash_neardup (40: perceptual-hash
     banded pigeonhole near-dup over the payload table's phash column,
-    full all-pairs oracle), d10_dedup_groups (42: connected-component
+    full all-pairs oracle), d10_dedup_groups (41: connected-component
     canonical-keeper assignment via hash-to-min + pointer jumping,
-    independent recursive-CTE oracle), t5_repetition_filter (43:
+    independent recursive-CTE oracle), t5_repetition_filter (42:
     Gopher-style dup-token/top-bigram filter, full oracle),
-    t6_hash_split (44: deterministic md5-bucket train/valid/test
-    split, full oracle), t7_pii_redact (43: email/IPv4/phone
+    t6_hash_split (43: deterministic md5-bucket train/valid/test
+    split, full oracle), t7_pii_redact (44: email/IPv4/phone
     redaction + audit counts on planted PII, full oracle) and
-    t8_decontaminate (44: benchmark 8-gram decontamination, full
-    oracle), t9_mix_rates (45: temperature source mixing, full
-    oracle), t10_stratified_sample (46: integer-ppm deterministic
-    sampling, full oracle), t11_mojibake (47: encoding-damage
-    detection, full oracle), t12_lm_score (48: unigram-LM quality
-    scoring, full oracle), t13_pack_sequences (49: training-sequence
-    packing, full window-function oracle) — plus mm_image_augment (29: seeded md5
+    t8_decontaminate (45: benchmark 8-gram decontamination, full
+    oracle), t9_mix_rates (46: temperature source mixing, full
+    oracle), t10_stratified_sample (47: integer-ppm deterministic
+    sampling, full oracle), t11_mojibake (48: encoding-damage
+    detection, full oracle), t12_lm_score (49: unigram-LM quality
+    scoring, full oracle), t13_pack_sequences (50: training-sequence
+    packing, full window-function oracle) — plus mm_image_augment (27: seeded md5
     crop+flip augmentation, full closed-form oracle incl. the
-    flip-signed left/right mean invariant). Round 6 also adds mm_image_gif (27: REAL GIF87a/LZW
+    flip-signed left/right mean invariant). Round 6 also adds mm_image_gif (28: REAL GIF87a/LZW
     codec round-trip through the payload dispatch, closed-form full
     oracle — functions/gifcodec.py, pinned on the spec's 1x1 LZW
-    vector). Gate is now 102 rows / 99 oracles; the crawl suite sits
-    at 29-37 and the new dedup rows fill 38-49 — every in-window
+    vector) and t14_stream_dedup (22: Structured-Streaming exact
+    dedup via dropDuplicatesWithinWatermark over planted duplicate
+    content hashes, full SELECT-DISTINCT oracle; cross-restart dedup
+    state pinned in tests/test_streaming_windowed.py — its slot freed
+    by demoting the driver-green-r5 s16_link_extract).
+    Gate is now 103 rows / 100 oracles; the crawl suite sits
+    at 29-37 and the new dedup rows fill 38-50 — every in-window
     dedup slot is a round-6 row; d1-d6 (driver-green r5) sit just
     past the cut. s5_utxo_explode, f2_url_canonicalize,
-    f10_html_strip, s12_trace_flatten and s19_scamdb_feed
-    (driver-green r5, unchanged) are demoted to
+    f10_html_strip, s12_trace_flatten, s19_scamdb_feed and
+    s16_link_extract (driver-green r5, unchanged) are demoted to
     the very end via _WINDOW_DEMOTE to free their slots; the growth
     also pushes d1-d6, sim_ann_topk (full oracles), sim_ann_lsh_recall
     and sim_ann_ivf_trained (self-checking), t1-t4 and s1_keyset_scan

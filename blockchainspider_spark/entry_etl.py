@@ -1140,6 +1140,62 @@ def q_t3_stream_windowed_sql():
     """
 
 
+def q_t14_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (training-pipeline ingestion twin of
+    operators/dedup.exact_duplicates): documents arrive as a stream
+    with PLANTED duplicate content hashes (key = md5 of doc_id % 401,
+    so ~5 arrivals share each key at doc_id < 2000);
+    dropDuplicatesWithinWatermark emits each key's first arrival and
+    drops the rest from checkpointed state
+    (streaming/windowed.dedup_stream). Output projects the key only —
+    which duplicate survives is arrival-order dependent, the key SET is
+    exact — so the batch oracle is a plain SELECT DISTINCT. Event times
+    are deterministic (epoch + doc_id seconds) and the 24h watermark
+    spans the whole bounded input, so every duplicate dedups."""
+    import tempfile
+
+    from blockchainspider_spark.streaming.windowed import dedup_stream, stream_events
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 2000)
+        .select(
+            F.md5((F.col("doc_id") % 401).cast("string")).alias("content_sha"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("base_ts"),
+            F.col("doc_id"),
+        )
+        .select(
+            "content_sha",
+            (F.unix_timestamp("base_ts") + F.col("doc_id")).cast("timestamp").alias("ts"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="gate-stream-dedup-src-")
+    docs.write.mode("overwrite").parquet(src)
+    # parquet readStream surfaces TIMESTAMP_NTZ; watermark needs TIMESTAMP
+    stream = stream_events(spark, src, docs.schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    result = dedup_stream(stream, ["content_sha"], ts_col="ts", watermark="24 hours")
+    _STREAM_SEQ[0] += 1
+    name = f"gate_stream_dedup_{_STREAM_SEQ[0]}"
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("content_sha")
+
+
+def q_t14_stream_dedup_sql():
+    return """
+    SELECT DISTINCT md5((doc_id % 401)::VARCHAR) AS content_sha
+    FROM documents WHERE doc_id < 2000
+    """
+
+
 def q_mm_audio_features(spark, sf_dir):
     """Multimodal audio features with a full SQL oracle: per doc build a
     deterministic integer PCM pattern (sample i = ((i·2654435761) mod

@@ -54,3 +54,27 @@ def run_available_now(result: DataFrame, out_dir: str, ckpt_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup for continuous ingestion (the training-
+    data pipeline's streaming twin of operators/dedup.exact_duplicates):
+    emit each dedup key's FIRST arrival, drop every later duplicate
+    whose event time lands within ``watermark`` of the state entry.
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon, so state is bounded at 10^10-row scale by the
+    horizon's key cardinality, not the stream's. The dedup state lives
+    in the checkpoint: a killed-and-resumed query continues dropping
+    duplicates of keys it emitted before the restart (pinned in
+    tests/test_streaming_windowed.py).
+
+    Callers that want a deterministic output contract should project
+    away non-key payload columns first — WHICH duplicate survives is
+    arrival-order dependent; the key set itself is exact.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -223,3 +223,52 @@ def test_million_event_kill_and_resume_exactly_once(spark, tmp_path):
         len(got_map), len(want_map),
         sorted(set(want_map) ^ set(got_map))[:4],
     )
+
+
+def test_dedup_stream_state_survives_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps its dedup state in the
+    checkpoint (streaming/windowed.dedup_stream, gate row
+    t14_stream_dedup): after a completed availableNow run stops, a
+    SECOND run over newly-arrived files must still drop duplicates of
+    keys emitted before the restart and emit only genuinely-new keys."""
+    import datetime
+    import glob
+    import shutil
+
+    from blockchainspider_spark.streaming.windowed import dedup_stream
+
+    schema = "content_sha string, ts timestamp"
+    src = tmp_path / "ddsrc"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "ddout"), str(tmp_path / "ddckpt")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def arrive(name, rows):
+        stage = tmp_path / "stage" / name
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("overwrite").parquet(str(stage)))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            dedup_stream(stream, ["content_sha"], watermark="24 hours")
+            .select("content_sha")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    s = datetime.timedelta(seconds=1)
+    arrive("s1", [("a", t0), ("b", t0 + 1 * s), ("a", t0 + 2 * s)])
+    drain()
+    got1 = sorted(r.content_sha for r in spark.read.parquet(out).collect())
+    assert got1 == ["a", "b"], "in-run duplicate dropped, first arrivals kept"
+
+    # post-restart slice: a duplicate of a pre-restart key + a new key
+    arrive("s2", [("a", t0 + 3 * s), ("c", t0 + 4 * s)])
+    drain()
+    got2 = sorted(r.content_sha for r in spark.read.parquet(out).collect())
+    assert got2 == ["a", "b", "c"], "dedup state survived the restart"
