@@ -1603,6 +1603,63 @@ def q_mm_image_gif_sql():
     """
 
 
+def q_mm_image_bmp(spark, sf_dir):
+    """Real-BMP payload gate (round 6 — functions/bmpcodec.py: 24bpp
+    BI_RGB DIB, the same bottom-up padded-row grammar avicodec already
+    round-trips inside AVI chunks): per doc a two-color checkerboard →
+    bmp_encode → the public payload dispatch + image_features. BMP is
+    lossless, so channel means and the constant two-level gray std are
+    closed-form for DuckDB. w=15 keeps the rows stride-padded (45 → 48
+    bytes), so the padding path is exercised on every image."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.bmpcodec import bmp_encode
+    from blockchainspider_spark.operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                # deltas keep every entry ≤ 3*63+60 = 249 < 256 (uint8)
+                pal = np.array(
+                    [[3 * did, 2 * did, did], [3 * did + 60, 2 * did + 50, did + 30]],
+                    np.uint8,
+                )
+                img = pal[np.indices((16, 15)).sum(axis=0) % 2]
+                out["image_id"].append(f"doc-{did}")
+                out["bytes"].append(bmp_encode(img))
+                out["fmt"].append("bmp")
+            yield pd.DataFrame(out)
+
+    images = d.mapInPandas(build, "image_id string, bytes binary, fmt string")
+    return image_features(images).select(
+        "image_id", "w", "h",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_gray", 4).alias("std_gray"),
+    )
+
+
+def q_mm_image_bmp_sql():
+    # 16x15 checkerboard: rows alternate 8/7 of each color, so over the
+    # whole image each palette entry covers exactly half the pixels
+    # (16*15/2 = 120 each) and the means are the palette midpoints.
+    return """
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(15 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+           round(CAST(3 * doc_id + 30.0 AS DOUBLE), 4) AS mean_r,
+           round(CAST(2 * doc_id + 25.0 AS DOUBLE), 4) AS mean_g,
+           round(CAST(doc_id + 15.0 AS DOUBLE), 4) AS mean_b,
+           round(CAST((0.299 * 60 + 0.587 * 50 + 0.114 * 30) / 2 AS DOUBLE), 4) AS std_gray
+    FROM documents WHERE doc_id < 64
+    """
+
+
 def build_etl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

@@ -145,6 +145,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         from blockchainspider_spark.functions.gifcodec import gif_decode
 
         return gif_decode(data)
+    if fmt == "bmp":  # real DIB codec (round 6)
+        from blockchainspider_spark.functions.bmpcodec import bmp_decode
+
+        return bmp_decode(data)
     raise NotImplementedError(f"image format {fmt!r}: real decoder not in container")
 
 

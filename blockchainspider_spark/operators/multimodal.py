@@ -7,7 +7,9 @@ What's real vs stubbed in this container (no PIL/ffmpeg):
 
 * image decode        — REAL for 'png' (pure-numpy codec) and, since
                         round 6, for real baseline-JFIF 'jpeg'
-                        (functions/jpegcodec.py); other formats raise
+                        (functions/jpegcodec.py), real LZW 'gif'
+                        (functions/gifcodec.py) and real BI_RGB 'bmp'
+                        (functions/bmpcodec.py); other formats raise
                         NotImplementedError (clearly gated).
 * resize              — REAL: numpy area-average resampling.
 * feature extraction  — REAL: channel means/stds + 64-bit phash.
