@@ -262,6 +262,34 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
           and "EvalPython" not in plan)
     results.append(("t13 pack_sequences (one shard exchange, text pruned "
                     "pre-shuffle, windowed cumsum)", plan, ["Window"], ok))
+
+    # round-6 streaming dedup (t14): the stateful operator keys its
+    # state store by the dedup key — exactly ONE exchange, demanded by
+    # the operator itself (REQUIRED_BY_STATEFUL_OPERATOR, hash on
+    # content_sha), with the watermark assigned upstream so state is
+    # horizon-bounded; no Python eval anywhere
+    import tempfile
+
+    from blockchainspider_spark.streaming.windowed import dedup_stream
+
+    sd_dir = tempfile.mkdtemp(prefix="audit-streamdedup-")
+    (spark.range(8).selectExpr("cast(id % 3 as string) AS content_sha",
+                               "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts")
+     .write.mode("overwrite").parquet(sd_dir))
+    sd = dedup_stream(
+        spark.readStream.schema("content_sha string, ts timestamp").parquet(sd_dir),
+        ["content_sha"],
+    )
+    plan = plan_of(sd)
+    n_ex = sum("Exchange" in ln and "Reused" not in ln
+               for ln in plan.splitlines() if ln.strip().startswith("("))
+    ok = (n_ex == 1 and "REQUIRED_BY_STATEFUL_OPERATOR" in plan
+          and "hashpartitioning(content_sha" in plan
+          and "EvalPython" not in plan)
+    results.append(("t14 streaming dedup (single stateful-operator exchange "
+                    "keyed by the dedup hash, watermark-bounded state)", plan,
+                    ["StreamingDeduplicateWithinWatermark", "EventTimeWatermark"],
+                    ok))
     return results
 
 
