@@ -5,7 +5,9 @@ per row. Two codecs ship:
 
 * ``png`` — a real, spec-conformant PNG subset (8-bit RGB, filter 0,
   one IDAT). Losslessly round-trips through any standards-compliant
-  reader; decoder handles filters 0-4 defensively.
+  reader; decoder handles filters 0-4 defensively and Adam7
+  interlacing (seven independently-filtered passes scattered onto the
+  pass grid — previously the interlace byte was silently ignored).
 * ``jpeg`` — a REAL baseline JFIF codec (functions/jpegcodec.py:
   DCT/Huffman per ITU-T T.81, pure numpy) since round 6. The legacy
   ``qjpeg`` synthetic codec (quantize+zlib, ``QJPG`` magic) is kept
@@ -52,9 +54,14 @@ def png_encode(pixels: np.ndarray) -> bytes:
     )
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def png_decode(data: bytes) -> np.ndarray:
     assert data[:8] == _PNG_SIG, "not a PNG"
-    pos, idat, w = 8, b"", 0
+    pos, idat, w, interlace = 8, b"", 0, 0
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -62,14 +69,39 @@ def png_decode(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
             assert (bit_depth, color_type) == (8, 2), "subset: 8-bit RGB only"
+            interlace = body[12]
+            assert interlace in (0, 1), f"bad PNG interlace method {interlace}"
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
         pos += 12 + length
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    stride = w * 3 + 1
-    rows = raw.reshape(-1, stride)
+    if not interlace:
+        return _png_unfilter(raw.reshape(-1, w * 3 + 1), w).reshape(-1, w, 3)
+    # Adam7: seven independently-filtered sub-images concatenated in the
+    # stream, scattered onto the pass grid (empty passes carry no bytes)
+    img = np.zeros((h, w, 3), np.uint8)
+    off = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * 3 + 1
+        rows = raw[off : off + ph * stride].reshape(ph, stride)
+        off += ph * stride
+        sub = _png_unfilter(rows, pw).reshape(ph, pw, 3)
+        img[y0::ys, x0::xs] = sub
+    assert off == len(raw), "interlaced PNG stream length mismatch"
+    return img
+
+
+def _png_unfilter(rows: np.ndarray, w: int) -> np.ndarray:
+    """Undo PNG row filters over one (sub-)image: ``rows`` is
+    (h, 1 + w*3) filter-byte-prefixed scanlines; returns (h, w*3) uint8.
+    Filter context never crosses sub-images — Adam7 passes call this
+    independently, per spec."""
     h = rows.shape[0]
     out = np.zeros((h, w * 3), np.int32)
     for y in range(h):
@@ -107,7 +139,7 @@ def png_decode(data: bytes) -> np.ndarray:
             out[y] = acc.reshape(-1)
         else:
             raise ValueError(f"bad PNG filter {filt}")
-    return out.astype(np.uint8).reshape(h, w, 3)
+    return out.astype(np.uint8)
 
 
 def qjpeg_encode(pixels: np.ndarray, step: int = 2) -> bytes:

@@ -117,3 +117,53 @@ def test_ssim_identity_shift_and_noise():
         ssim(img, img[:16])
     with pytest.raises(ValueError, match="smaller"):
         ssim(img[:4, :4], img[:4, :4])
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 pin, independent of the encoder (which only writes
+    non-interlaced): build the seven-pass stream by hand — each pass an
+    independently-filtered sub-image — set interlace=1 in IHDR, and
+    decode must reassemble the original. Sizes cover sub-8x8 (empty
+    passes), exact pass boundaries, and odd dims; one variant uses the
+    Sub filter inside a pass to pin per-pass filter independence."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from blockchainspider_spark.functions.imagecodec import (
+        _ADAM7,
+        _chunk,
+        _PNG_SIG,
+        png_decode,
+    )
+
+    rng = np.random.default_rng(23)
+
+    def build_interlaced(img: np.ndarray, use_sub: bool) -> bytes:
+        h, w, _ = img.shape
+        stream = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            for y in range(ph):
+                line = sub[y].reshape(-1).astype(np.int32)
+                if use_sub and pw > 1:
+                    # forward Sub filter: raw[x] - raw[x-1] per channel
+                    delta = line.reshape(pw, 3).copy()
+                    delta[1:] = (delta[1:] - line.reshape(pw, 3)[:-1]) & 0xFF
+                    stream += b"\x01" + delta.astype(np.uint8).tobytes()
+                else:
+                    stream += b"\x00" + line.astype(np.uint8).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+                + _chunk(b"IEND", b""))
+
+    for h, w in [(1, 1), (3, 5), (7, 7), (8, 8), (9, 10), (16, 16), (17, 13)]:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        assert (png_decode(build_interlaced(img, use_sub=False)) == img).all(), (h, w)
+    img = rng.integers(0, 256, (12, 11, 3), np.uint8)
+    assert (png_decode(build_interlaced(img, use_sub=True)) == img).all()
