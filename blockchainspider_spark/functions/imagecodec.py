@@ -3,11 +3,13 @@
 The payload table (BASELINE.json input_hint) carries opaque ``bytes``
 per row. Two codecs ship:
 
-* ``png`` — a real, spec-conformant PNG subset (8-bit RGB, filter 0,
-  one IDAT). Losslessly round-trips through any standards-compliant
-  reader; decoder handles filters 0-4 defensively and Adam7
-  interlacing (seven independently-filtered passes scattered onto the
-  pass grid — previously the interlace byte was silently ignored).
+* ``png`` — a real, spec-conformant PNG codec. Encoder writes the
+  8-bit RGB / filter-0 / one-IDAT subset (losslessly round-trips
+  through any standards-compliant reader); decoder handles filters
+  0-4, Adam7 interlacing (seven independently-filtered passes
+  scattered onto the pass grid), and every 8-bit color type — gray,
+  RGB, palette via PLTE, gray+alpha, RGBA (alpha dropped; 16-bit and
+  sub-8-bit depths raise loudly).
 * ``jpeg`` — a REAL baseline JFIF codec (functions/jpegcodec.py:
   DCT/Huffman per ITU-T T.81, pure numpy) since round 6. The legacy
   ``qjpeg`` synthetic codec (quantize+zlib, ``QJPG`` magic) is kept
@@ -59,78 +61,105 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
+# channels per PNG color type at bit depth 8 (type 3 = palette indices)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def png_decode(data: bytes) -> np.ndarray:
+    """PNG → uint8 HxWx3 RGB. Decodes every 8-bit color type — gray
+    (0), RGB (2), palette (3, via PLTE), gray+alpha (4) and RGBA (6) —
+    non-interlaced or Adam7. Alpha is DROPPED (feature pipelines read
+    the color planes; tRNS likewise ignored); sub-8-bit depths and
+    16-bit raise loudly."""
     assert data[:8] == _PNG_SIG, "not a PNG"
-    pos, idat, w, interlace = 8, b"", 0, 0
+    pos, idat, w, interlace, ct, plte = 8, b"", 0, 0, 2, None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
-            assert (bit_depth, color_type) == (8, 2), "subset: 8-bit RGB only"
+            w, h, bit_depth, ct = struct.unpack(">IIBB", body[:10])
+            assert bit_depth == 8, f"subset: bit depth 8 only (got {bit_depth})"
+            assert ct in _PNG_CHANNELS, f"bad PNG color type {ct}"
             interlace = body[12]
             assert interlace in (0, 1), f"bad PNG interlace method {interlace}"
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
         pos += 12 + length
+    ch = _PNG_CHANNELS[ct]
+    if ct == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
     if not interlace:
-        return _png_unfilter(raw.reshape(-1, w * 3 + 1), w).reshape(-1, w, 3)
-    # Adam7: seven independently-filtered sub-images concatenated in the
-    # stream, scattered onto the pass grid (empty passes carry no bytes)
-    img = np.zeros((h, w, 3), np.uint8)
-    off = 0
-    for x0, y0, xs, ys in _ADAM7:
-        pw = (w - x0 + xs - 1) // xs
-        ph = (h - y0 + ys - 1) // ys
-        if pw <= 0 or ph <= 0:
-            continue
-        stride = pw * 3 + 1
-        rows = raw[off : off + ph * stride].reshape(ph, stride)
-        off += ph * stride
-        sub = _png_unfilter(rows, pw).reshape(ph, pw, 3)
-        img[y0::ys, x0::xs] = sub
-    assert off == len(raw), "interlaced PNG stream length mismatch"
-    return img
+        img = _png_unfilter(raw.reshape(-1, w * ch + 1), w, ch).reshape(-1, w, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images concatenated in
+        # the stream, scattered onto the pass grid (empty passes carry no
+        # bytes)
+        img = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * ch + 1
+            rows = raw[off : off + ph * stride].reshape(ph, stride)
+            off += ph * stride
+            img[y0::ys, x0::xs] = _png_unfilter(rows, pw, ch).reshape(ph, pw, ch)
+        assert off == len(raw), "interlaced PNG stream length mismatch"
+    if ct == 2:
+        return img
+    if ct == 3:
+        idx = img[..., 0]
+        if (idx >= len(plte)).any():
+            raise ValueError("PLTE index out of range")
+        return plte[idx]
+    if ct == 6:
+        return img[..., :3].copy()
+    # gray / gray+alpha → replicate the luma plane
+    return np.repeat(img[..., :1], 3, axis=2)
 
 
-def _png_unfilter(rows: np.ndarray, w: int) -> np.ndarray:
+def _png_unfilter(rows: np.ndarray, w: int, ch: int = 3) -> np.ndarray:
     """Undo PNG row filters over one (sub-)image: ``rows`` is
-    (h, 1 + w*3) filter-byte-prefixed scanlines; returns (h, w*3) uint8.
-    Filter context never crosses sub-images — Adam7 passes call this
-    independently, per spec."""
+    (h, 1 + w*ch) filter-byte-prefixed scanlines; returns (h, w*ch)
+    uint8. The left neighbor in Sub/Average/Paeth is ``ch`` bytes back
+    (bpp per spec §9.2). Filter context never crosses sub-images —
+    Adam7 passes call this independently, per spec."""
     h = rows.shape[0]
-    out = np.zeros((h, w * 3), np.int32)
+    out = np.zeros((h, w * ch), np.int32)
     for y in range(h):
         filt, line = rows[y, 0], rows[y, 1:].astype(np.int32)
         if filt == 0:
             out[y] = line
         elif filt == 1:  # Sub
-            acc = line.reshape(w, 3)
+            acc = line.reshape(w, ch)
             for x in range(1, w):
                 acc[x] = (acc[x] + acc[x - 1]) & 0xFF
             out[y] = acc.reshape(-1)
         elif filt == 2:  # Up
             out[y] = (line + out[y - 1]) & 0xFF if y else line
         elif filt == 3:  # Average
-            prev = out[y - 1] if y else np.zeros(w * 3, np.int32)
-            acc = line.reshape(w, 3)
-            pr = prev.reshape(w, 3)
-            left = np.zeros(3, np.int32)
+            prev = out[y - 1] if y else np.zeros(w * ch, np.int32)
+            acc = line.reshape(w, ch)
+            pr = prev.reshape(w, ch)
+            left = np.zeros(ch, np.int32)
             for x in range(w):
                 acc[x] = (acc[x] + (left + pr[x]) // 2) & 0xFF
                 left = acc[x]
             out[y] = acc.reshape(-1)
         elif filt == 4:  # Paeth
-            prev = (out[y - 1] if y else np.zeros(w * 3, np.int32)).reshape(w, 3)
-            acc = line.reshape(w, 3)
-            left = np.zeros(3, np.int32)
+            prev = (out[y - 1] if y else np.zeros(w * ch, np.int32)).reshape(w, ch)
+            acc = line.reshape(w, ch)
+            left = np.zeros(ch, np.int32)
             for x in range(w):
                 up = prev[x]
-                ul = prev[x - 1] if x else np.zeros(3, np.int32)
+                ul = prev[x - 1] if x else np.zeros(ch, np.int32)
                 p = left + up - ul
                 pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
                 pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))

@@ -167,3 +167,67 @@ def test_png_adam7_interlaced_decode():
         assert (png_decode(build_interlaced(img, use_sub=False)) == img).all(), (h, w)
     img = rng.integers(0, 256, (12, 11, 3), np.uint8)
     assert (png_decode(build_interlaced(img, use_sub=True)) == img).all()
+
+
+def test_png_color_types_gray_palette_alpha():
+    """Hand-built 8-bit files for color types 0 (gray), 3 (palette),
+    4 (gray+alpha) and 6 (RGBA): alpha is dropped, gray replicates to
+    RGB, palette goes through PLTE. The RGBA case uses the Sub filter
+    so the left neighbor is 4 bytes back (bpp semantics, spec §9.2) —
+    a 3-channel-hardcoded unfilter would corrupt it."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from blockchainspider_spark.functions.imagecodec import (
+        _chunk,
+        _PNG_SIG,
+        png_decode,
+    )
+
+    rng = np.random.default_rng(29)
+
+    def build(ct, ch, h, w, planes, plte=None, filt=0):
+        stream = bytearray()
+        for y in range(h):
+            line = planes[y].reshape(-1).astype(np.int32)
+            if filt == 1 and w > 1:
+                d = line.reshape(w, ch).copy()
+                d[1:] = (d[1:] - line.reshape(w, ch)[:-1]) & 0xFF
+                stream += b"\x01" + d.astype(np.uint8).tobytes()
+            else:
+                stream += b"\x00" + line.astype(np.uint8).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        out = _PNG_SIG + _chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        return out + _chunk(b"IDAT", zlib.compress(bytes(stream))) + _chunk(b"IEND", b"")
+
+    # type 0: gray → RGB replication
+    g = rng.integers(0, 256, (5, 7, 1), np.uint8)
+    assert (png_decode(build(0, 1, 5, 7, g)) == np.repeat(g, 3, 2)).all()
+
+    # type 3: palette lookup through PLTE
+    pal = rng.integers(0, 256, (5, 3), np.uint8)
+    idx = rng.integers(0, 5, (4, 6, 1), np.uint8)
+    assert (png_decode(build(3, 1, 4, 6, idx, plte=pal)) == pal[idx[..., 0]]).all()
+    bad = idx.copy()
+    bad[0, 0, 0] = 5  # out of palette range
+    with pytest.raises(ValueError, match="PLTE index"):
+        png_decode(build(3, 1, 4, 6, bad, plte=pal))
+
+    # type 4: gray+alpha → alpha dropped, gray replicated
+    ga = rng.integers(0, 256, (3, 4, 2), np.uint8)
+    assert (png_decode(build(4, 2, 3, 4, ga)) == np.repeat(ga[..., :1], 3, 2)).all()
+
+    # type 6: RGBA with the Sub filter (left neighbor = 4 bytes back)
+    rgba = rng.integers(0, 256, (6, 9, 4), np.uint8)
+    assert (png_decode(build(6, 4, 6, 9, rgba, filt=1)) == rgba[..., :3]).all()
+
+    # 16-bit depth raises loudly
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    data16 = _PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    with pytest.raises(AssertionError, match="bit depth 8"):
+        png_decode(data16)
