@@ -1660,6 +1660,68 @@ def q_mm_image_bmp_sql():
     """
 
 
+def q_mm_pixel_dedup(spark, sf_dir):
+    """Cross-format image dedup (round 6): the SAME per-doc pixels
+    encoded three ways — PNG, GIF, BMP, all lossless — must collapse to
+    ONE decoded-pixel fingerprint (multimodal.pixel_fingerprint), while
+    no two docs may collide. Counts are closed-form for DuckDB: per doc
+    3 encodings, 1 distinct fp, and that fp shared by exactly 1 doc
+    (fp_shared_by comes from a groupBy over the fp itself, so a
+    cross-doc md5 collision would fail the oracle, not pass silently)."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.bmpcodec import bmp_encode
+    from blockchainspider_spark.functions.gifcodec import gif_encode
+    from blockchainspider_spark.functions.imagecodec import png_encode
+    from blockchainspider_spark.operators.multimodal import pixel_fingerprint
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pal = np.array(
+                    [[3 * did, 2 * did, did], [3 * did + 60, 2 * did + 50, did + 30]],
+                    np.uint8,
+                )
+                img = pal[np.indices((12, 11)).sum(axis=0) % 2]
+                for fmt, enc in (("png", png_encode), ("gif", gif_encode),
+                                 ("bmp", bmp_encode)):
+                    out["image_id"].append(f"doc-{did}-{fmt}")
+                    out["bytes"].append(enc(img))
+                    out["fmt"].append(fmt)
+            yield pd.DataFrame(out)
+
+    images = d.mapInPandas(build, "image_id string, bytes binary, fmt string")
+    fps = pixel_fingerprint(images).withColumn(
+        "base", F.regexp_extract("image_id", r"^(doc-\d+)-", 1)
+    )
+    shared = fps.groupBy("pixel_fp").agg(
+        F.countDistinct("base").alias("fp_shared_by")
+    )
+    return (
+        fps.join(F.broadcast(shared), "pixel_fp")
+        .groupBy("base")
+        .agg(
+            F.count("*").alias("n_enc"),
+            F.countDistinct("pixel_fp").alias("n_fp"),
+            F.max("fp_shared_by").alias("fp_shared_by"),
+        )
+        .select(F.col("base").alias("image_id"), "n_enc", "n_fp", "fp_shared_by")
+    )
+
+
+def q_mm_pixel_dedup_sql():
+    return """
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+           3::BIGINT AS n_enc, 1::BIGINT AS n_fp, 1::BIGINT AS fp_shared_by
+    FROM documents WHERE doc_id < 48
+    """
+
+
 def build_etl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

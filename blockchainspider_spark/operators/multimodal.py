@@ -82,6 +82,31 @@ def image_features(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+def pixel_fingerprint(images: DataFrame) -> DataFrame:
+    """Decoded-pixel content hash for cross-format image dedup: the
+    SAME pixels encoded as png/gif/bmp (all lossless here) share one
+    fingerprint, so format-churned duplicates collapse where a raw
+    byte hash cannot. Arrow-batched; payload bytes never shuffle —
+    downstream dedup groups on the 32-char fp, not the image."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                fps.append(hashlib.md5(
+                    np.ascontiguousarray(px, np.uint8).tobytes()
+                ).hexdigest())
+            out = pdf[["image_id"]].copy()
+            out["pixel_fp"] = fps
+            yield out
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, "image_id string, pixel_fp string"
+    )
+
+
 def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Decode → area resize → re-encode (png) — thumbnail stage."""
     from blockchainspider_spark.functions.imagecodec import png_encode
