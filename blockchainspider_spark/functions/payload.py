@@ -46,8 +46,17 @@ def host_of(image_id: str) -> str:
         return ""
 
 
-def make_fetch_kernel(qps: float | None = None, proxy: str | None = None):
+def make_fetch_kernel(qps: float | None = None, proxy: str | None = None,
+                      host_delays: dict[str, float] | None = None):
     """Build a mapInPandas kernel closing over the politeness budget.
+
+    ``host_delays`` carries robots.txt Crawl-delay seconds per host
+    (functions/robots.parse_crawl_delays — a tiny collected dim shipped
+    in the closure): the effective per-host interval is
+    ``max(1/qps, crawl_delay)``, so a host may slow the crawler below
+    the global budget but never speed past it. Under ``proxy`` the
+    pacing key is the proxy, and the strictest delay of any host in the
+    batch governs it (one bottleneck, worst-case-honest).
 
     ``proxy`` models the reference's SOCKS5/Tor path (S17,
     middlewares/tor.py:15-72): all proxied fetches funnel through ONE
@@ -61,6 +70,7 @@ def make_fetch_kernel(qps: float | None = None, proxy: str | None = None):
     def fetch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_fetch: dict[str, float] = {}
         min_interval = (1.0 / qps) if qps else 0.0
+        delays = host_delays or {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -83,9 +93,10 @@ def make_fetch_kernel(qps: float | None = None, proxy: str | None = None):
             payloads = pdf["bytes"].to_numpy()
             for i in range(n):
                 t0 = time.perf_counter()
-                if min_interval:
+                iv = max(min_interval, delays.get(hosts.iat[i], 0.0))
+                if iv:
                     bucket = proxy if proxy is not None else hosts.iat[i]
-                    wait = last_fetch.get(bucket, 0.0) + min_interval - time.monotonic()
+                    wait = last_fetch.get(bucket, 0.0) + iv - time.monotonic()
                     if wait > 0:
                         time.sleep(wait)
                     last_fetch[bucket] = time.monotonic()

@@ -61,6 +61,56 @@ def parse_robots_text(txt: str) -> list[str]:
     return prefixes
 
 
+def parse_crawl_delay(txt: str) -> float | None:
+    """Crawl-delay for User-agent * (pure core, robotparser-oracled):
+    same entry scoping as ``parse_robots_text`` — and, matching
+    ``urllib.robotparser``, the value must be all digits (an integer
+    second count; '1.5' or 'fast' is ignored) and a Crawl-delay line
+    counts as a rule line for entry-boundary purposes."""
+    delay: float | None = None
+    applies = False
+    in_rules = False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            applies = in_rules = False
+            continue
+        if ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if in_rules:
+                applies = in_rules = False
+            applies = applies or value == "*"
+        elif key in ("disallow", "allow", "crawl-delay"):
+            in_rules = True
+            if key == "crawl-delay" and applies and value.isdigit():
+                delay = float(int(value))
+    return delay
+
+
+def parse_crawl_delays(docs: DataFrame) -> DataFrame:
+    """(host, robots_txt) documents → (host, crawl_delay) rows for hosts
+    that declare one; feed ``collect()`` of this small dim into
+    ``payload.make_fetch_kernel(host_delays=...)`` so the politeness
+    bucket honors per-host Crawl-delay."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"host": [], "crawl_delay": []}
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                d = parse_crawl_delay(txt)
+                if d is not None:
+                    out["host"].append(host)
+                    out["crawl_delay"].append(d)
+            yield pd.DataFrame(out)
+
+    return docs.select("host", "robots_txt").mapInPandas(
+        kernel, "host string, crawl_delay double"
+    )
+
+
 def _parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"host": [], "path_prefix": []}

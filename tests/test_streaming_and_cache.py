@@ -209,3 +209,26 @@ def test_hot_host_salting_splits_partitions(spark, edges_df, images_df):
         "host_bucket", F.concat_ws("#", host, salt.cast("string"))
     ).select("host_bucket").distinct().count()
     assert buckets >= 2, "hot host must salt across multiple buckets"
+
+
+def test_crawl_delay_overrides_global_qps(spark, images_df):
+    """robots Crawl-delay feeds the politeness bucket: a host with a
+    declared delay is paced at max(1/qps, delay) — slower than the
+    global budget — while undeclared hosts keep the qps interval."""
+    from blockchainspider_spark.functions.payload import (
+        FETCH_RESULT_SCHEMA,
+        make_fetch_kernel,
+    )
+
+    hot = images_df.where(F.col("image_id").startswith("img://host-0/")).limit(5).select(
+        "node", "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        F.lit(1).alias("depth"), F.lit(0).cast("long").alias("seq"),
+        F.lit(1).alias("wave"), F.lit("b0").alias("host_bucket"),
+    ).coalesce(1)
+    n = hot.count()
+    kernel = make_fetch_kernel(qps=1000.0, host_delays={"host-0": 0.05})
+    t0 = time.monotonic()
+    rows = hot.mapInPandas(kernel, FETCH_RESULT_SCHEMA).collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == n
+    assert elapsed >= (n - 1) * 0.05, f"crawl-delay ignored: {elapsed:.3f}s"

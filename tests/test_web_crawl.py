@@ -225,3 +225,37 @@ def test_canonicalization_dedups_messy_urls(spark):
     )
     urls = [u for _, u, _ in res.fetch_log]
     assert urls == ["http://A.example.com/p?a=1&b=2", "http://a.example.com/q"]
+
+
+def test_crawl_delay_parser_agrees_with_stdlib(spark):
+    """Crawl-delay for '*' pinned against urllib.robotparser: entry
+    scoping (a delay under another agent does not apply; a UA line
+    after a crawl-delay starts a fresh entry), digits-only values, and
+    the (host, crawl_delay) Spark dim."""
+    import urllib.robotparser
+
+    from blockchainspider_spark.functions.robots import (
+        parse_crawl_delay,
+        parse_crawl_delays,
+    )
+
+    cases = [
+        "User-agent: *\nCrawl-delay: 7\nDisallow: /x\n",
+        "User-agent: bigbot\nCrawl-delay: 9\n\nUser-agent: *\nDisallow: /x\n",
+        "User-agent: *\nCrawl-delay: 1.5\n",      # non-digit: ignored
+        "User-agent: *\nCrawl-delay: fast\n",
+        "User-agent: a\nCrawl-delay: 3\nUser-agent: *\nCrawl-delay: 2\n",
+        "User-agent: *\nUser-agent: b\nCrawl-delay: 4\n",  # grouped UAs
+        "",
+    ]
+    for txt in cases:
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(txt.splitlines())
+        assert parse_crawl_delay(txt) == rp.crawl_delay("*"), txt
+
+    docs = spark.createDataFrame(
+        [("h1", cases[0]), ("h2", cases[1]), ("h3", cases[4])],
+        "host string, robots_txt string",
+    )
+    got = {r.host: r.crawl_delay for r in parse_crawl_delays(docs).collect()}
+    assert got == {"h1": 7.0, "h3": 2.0}  # h2's delay belongs to bigbot
