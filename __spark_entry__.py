@@ -41,6 +41,7 @@ _WINDOW_DEMOTE = [
     "s5_utxo_explode", "f2_url_canonicalize",
     "f10_html_strip", "s12_trace_flatten", "s19_scamdb_feed",
     "s16_link_extract", "p3_symbol_identity", "o6_priority_queue",
+    "k8b_motif_triangles",
 ]
 
 
@@ -66,9 +67,9 @@ def _collect_suites(idx: int) -> dict:
     session), as do the NEW round-5 rows sim_ann_ivf_trained
     (self-checking trained-quantizer recall floor), mm_audio_g711 and
     mm_video_avi. Round 6 adds mm_video_mjpeg (real MJPG AVI → JPEG
-    frame decode, PSNR floor, position 15) and mm_image_jpeg (REAL
+    frame decode, PSNR floor, position 14) and mm_image_jpeg (REAL
     baseline-JFIF codec round-trip + PSNR≥40 floor + image_features
-    mean parity, position 16), both fully oracled and in-window, and
+    mean parity, position 15), both fully oracled and in-window, and
     graduates sim_ann_lsh (position 32) from rows-only to a full
     brute-force-equality oracle, and adds sim_ann_ivf_nprobe (position
     34, multi-probe IVF, full oracle) plus crawl_bfs_cuckoo_forget
@@ -92,30 +93,35 @@ def _collect_suites(idx: int) -> dict:
     sampling, full oracle), t11_mojibake (48: encoding-damage
     detection, full oracle), t12_lm_score (49: unigram-LM quality
     scoring, full oracle), t13_pack_sequences (50: training-sequence
-    packing, full window-function oracle) — plus mm_image_augment (25: seeded md5
+    packing, full window-function oracle) — plus mm_image_augment (24: seeded md5
     crop+flip augmentation, full closed-form oracle incl. the
-    flip-signed left/right mean invariant). Round 6 also adds mm_image_gif (26: REAL GIF87a/LZW
+    flip-signed left/right mean invariant). Round 6 also adds mm_image_gif (25: REAL GIF87a/LZW
     codec round-trip through the payload dispatch, closed-form full
     oracle — functions/gifcodec.py, pinned on the spec's 1x1 LZW
-    vector), mm_image_bmp (27: REAL 24bpp BI_RGB DIB codec round-trip
+    vector), mm_image_bmp (26: REAL 24bpp BI_RGB DIB codec round-trip
     with stride-padded rows, closed-form full oracle —
     functions/bmpcodec.py, slot freed by demoting the driver-green-r5
-    p3_symbol_identity), mm_pixel_dedup (28: cross-format dedup — the
+    p3_symbol_identity), mm_pixel_dedup (27: cross-format dedup — the
     same pixels as PNG/GIF/BMP collapse to one decoded-pixel md5,
     closed-form count oracle incl. a cross-doc collision check; slot
-    freed by demoting the driver-green-r5 o6_priority_queue) and
-    t14_stream_dedup (20: Structured-Streaming
+    freed by demoting the driver-green-r5 o6_priority_queue),
+    s25_sitemap_ingest (28: sitemap.xml frontier ingestion — urlset
+    AND sitemapindex grammars through the real ElementTree kernel,
+    full string-arithmetic oracle; slot freed by demoting the
+    driver-green-r5 k8b_motif_triangles) and
+    t14_stream_dedup (19: Structured-Streaming
     exact dedup via dropDuplicatesWithinWatermark over planted
     duplicate content hashes, full SELECT-DISTINCT oracle;
     cross-restart dedup state pinned in
     tests/test_streaming_windowed.py — its slot freed by demoting the
     driver-green-r5 s16_link_extract).
-    Gate is now 105 rows / 102 oracles; the crawl suite sits
+    Gate is now 106 rows / 103 oracles; the crawl suite sits
     at 29-37 and the new dedup rows fill 38-50 — every in-window
     dedup slot is a round-6 row; d1-d6 (driver-green r5) sit just
     past the cut. s5_utxo_explode, f2_url_canonicalize,
     f10_html_strip, s12_trace_flatten, s19_scamdb_feed,
-    s16_link_extract, p3_symbol_identity and o6_priority_queue (driver-green r5,
+    s16_link_extract, p3_symbol_identity, o6_priority_queue and
+    k8b_motif_triangles (driver-green r5,
     unchanged) are demoted to
     the very end via _WINDOW_DEMOTE to free their slots; the growth
     also pushes d1-d6, sim_ann_topk (full oracles), sim_ann_lsh_recall

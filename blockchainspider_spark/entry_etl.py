@@ -1722,6 +1722,79 @@ def q_mm_pixel_dedup_sql():
     """
 
 
+def q_s25_sitemap_ingest(spark, sf_dir):
+    """Sitemap ingestion for the crawl frontier (round 6,
+    sources/feeds.parse_sitemaps): per doc a deterministic sitemap XML —
+    every 8th doc a <sitemapindex> with one nested sitemap loc, the rest
+    namespaced <urlset>s with one full entry (lastmod + priority) and
+    one bare entry — parsed by the real ElementTree kernel. Every
+    output field is a pure string/arith function of doc_id, so DuckDB
+    reconstructs the rows without parsing any XML."""
+    import pandas as pd
+
+    from blockchainspider_spark.sources.feeds import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"source": [], "xml": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                host = f"h{did % 4}"
+                src = f"https://{host}/sitemap-{did}.xml"
+                if did % 8 == 0:
+                    xml = (
+                        "<sitemapindex><sitemap>"
+                        f"<loc>https://{host}/nested-{did}.xml</loc>"
+                        "</sitemap></sitemapindex>"
+                    )
+                else:
+                    xml = (
+                        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                        f"<url><loc>https://{host}/{did}/a</loc>"
+                        "<lastmod>2024-01-15</lastmod>"
+                        f"<priority>{(did % 10) / 10.0}</priority></url>"
+                        f"<url><loc>https://{host}/{did}/b</loc></url>"
+                        "</urlset>"
+                    )
+                out["source"].append(src)
+                out["xml"].append(xml)
+            yield pd.DataFrame(out)
+
+    docs = d.mapInPandas(build, "source string, xml string")
+    return parse_sitemaps(docs).select(
+        "source", "kind", "url", "lastmod",
+        F.round("priority", 6).alias("priority"),
+    )
+
+
+def q_s25_sitemap_ingest_sql():
+    return """
+    WITH d AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,
+             'https://h' || CAST(doc_id % 4 AS VARCHAR) || '/sitemap-'
+               || CAST(doc_id AS VARCHAR) || '.xml' AS source
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT source, 'sitemap' AS kind,
+           'https://' || host || '/nested-' || CAST(doc_id AS VARCHAR) || '.xml' AS url,
+           NULL AS lastmod, NULL::DOUBLE AS priority
+    FROM d WHERE doc_id % 8 = 0
+    UNION ALL
+    SELECT source, 'url' AS kind,
+           'https://' || host || '/' || CAST(doc_id AS VARCHAR) || '/a' AS url,
+           '2024-01-15' AS lastmod,
+           round((doc_id % 10) / 10.0, 6) AS priority
+    FROM d WHERE doc_id % 8 <> 0
+    UNION ALL
+    SELECT source, 'url' AS kind,
+           'https://' || host || '/' || CAST(doc_id AS VARCHAR) || '/b' AS url,
+           NULL AS lastmod, NULL::DOUBLE AS priority
+    FROM d WHERE doc_id % 8 <> 0
+    """
+
+
 def build_etl_suite() -> tuple[dict[str, Callable], dict[str, str]]:
     queries, oracles = {}, {}
     for name, fn in list(globals().items()):

@@ -110,3 +110,72 @@ def parse_ofac_xml(docs: DataFrame, xml_col: str = "doc") -> DataFrame:
     """S18, real XML path: one SDN XML document per row → one row per
     (sanctioned entry, digital-currency address)."""
     return docs.select(xml_col).mapInPandas(_parse_sdn_entries, OFAC_XML_OUT_SCHEMA)
+
+
+SITEMAP_OUT_SCHEMA = (
+    "source string, kind string, url string, lastmod string, priority double"
+)
+_SITEMAP_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+
+def parse_sitemap_text(source: str, xml_text: str) -> list[dict]:
+    """One sitemap document → frontier rows (pure core, oracle-shared).
+
+    Handles both grammars of the sitemaps.org 0.9 protocol: <urlset>
+    rows come out kind='url' with optional lastmod/priority; a
+    <sitemapindex> yields kind='sitemap' rows (nested sitemap locs) the
+    crawler enqueues for the next fetch wave instead of emitting as
+    page URLs. Namespaced and namespace-less documents both parse
+    (plenty of real sitemaps omit xmlns)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    tag = root.tag.removeprefix(_SITEMAP_NS)
+    ns = _SITEMAP_NS if root.tag.startswith(_SITEMAP_NS) else ""
+
+    def text(el, name):
+        node = el.find(f"{ns}{name}")
+        return node.text.strip() if node is not None and node.text else None
+
+    rows: list[dict] = []
+    if tag == "urlset":
+        for u in root.iter(f"{ns}url"):
+            loc = text(u, "loc")
+            if not loc:
+                continue
+            pr = text(u, "priority")
+            rows.append({
+                "source": source, "kind": "url", "url": loc,
+                "lastmod": text(u, "lastmod"),
+                "priority": float(pr) if pr is not None else None,
+            })
+    elif tag == "sitemapindex":
+        for s in root.iter(f"{ns}sitemap"):
+            loc = text(s, "loc")
+            if not loc:
+                continue
+            rows.append({
+                "source": source, "kind": "sitemap", "url": loc,
+                "lastmod": text(s, "lastmod"), "priority": None,
+            })
+    else:
+        raise ValueError(f"not a sitemap document: root <{root.tag}>")
+    return rows
+
+
+def parse_sitemaps(docs: DataFrame, xml_col: str = "xml",
+                   source_col: str = "source") -> DataFrame:
+    """Sitemap ingestion for the crawl frontier: (source, xml) documents
+    → (kind='url' | kind='sitemap') rows. Arrow-batched ElementTree
+    kernel, one pass per document; the nested-index rows feed the next
+    fetch wave (the engine treats them like redirects, not pages)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["source", "kind", "url", "lastmod", "priority"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for src, xml_text in zip(pdf[source_col], pdf[xml_col]):
+                rows.extend(parse_sitemap_text(src, xml_text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(source_col, xml_col).mapInPandas(kernel, SITEMAP_OUT_SCHEMA)

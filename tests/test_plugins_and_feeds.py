@@ -131,3 +131,37 @@ def test_ofac_feed_parse(spark):
     rows = parse_ofac_feed(spark, df).collect()
     assert {(r.currency, r.address) for r in rows} == {("XBT", "1Boat..."), ("ETH", "0xabc")}
     assert rows[0].programs == "CYBER"
+
+
+def test_sitemap_parse(spark):
+    """Sitemap ingestion: namespaced urlset, namespace-less index,
+    nested-sitemap kind split, missing-loc rows dropped, and a loud
+    gate on non-sitemap XML."""
+    import pytest
+
+    from blockchainspider_spark.sources.feeds import (
+        parse_sitemap_text,
+        parse_sitemaps,
+    )
+
+    urlset = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://h/a </loc><lastmod>2024-03-01</lastmod>"
+        "<priority>0.5</priority></url>"
+        "<url><loc>https://h/b</loc></url>"
+        "<url><lastmod>2024-03-02</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    index = "<sitemapindex><sitemap><loc>https://h/s2.xml</loc></sitemap></sitemapindex>"
+    docs = spark.createDataFrame(
+        [("s1", urlset), ("s2", index)], "source string, xml string"
+    )
+    rows = {(r.source, r.kind, r.url): (r.lastmod, r.priority)
+            for r in parse_sitemaps(docs).collect()}
+    assert rows == {
+        ("s1", "url", "https://h/a"): ("2024-03-01", 0.5),
+        ("s1", "url", "https://h/b"): (None, None),
+        ("s2", "sitemap", "https://h/s2.xml"): (None, None),
+    }
+    with pytest.raises(ValueError, match="not a sitemap"):
+        parse_sitemap_text("s", "<rss><channel/></rss>")
