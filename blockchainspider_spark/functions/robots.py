@@ -40,11 +40,17 @@ def parse_robots_text(txt: str) -> list[str]:
     applies = False    # current entry lists '*' among its user-agents
     in_rules = False   # current entry has seen rule lines
     for raw in (txt or "").splitlines():
+        if not raw:
+            # ONLY a truly empty line terminates the entry (partial
+            # UA-only entries are discarded, robotparser state 1 → 0).
+            # robotparser checks emptiness BEFORE comment stripping, so
+            # comment-only and whitespace-only lines are skipped without
+            # ending the entry — a divergence the hypothesis grammar
+            # test caught live (tests/test_property_codecs.py).
+            applies = in_rules = False
+            continue
         line = raw.split("#", 1)[0].strip()
         if not line:
-            # blank line terminates the entry (partial UA-only entries
-            # are discarded, matching robotparser state 1 → 0)
-            applies = in_rules = False
             continue
         if ":" not in line:
             continue
@@ -71,9 +77,11 @@ def parse_crawl_delay(txt: str) -> float | None:
     applies = False
     in_rules = False
     for raw in (txt or "").splitlines():
+        if not raw:  # see parse_robots_text: empty ≠ comment-only
+            applies = in_rules = False
+            continue
         line = raw.split("#", 1)[0].strip()
         if not line:
-            applies = in_rules = False
             continue
         if ":" not in line:
             continue

@@ -1,0 +1,102 @@
+"""Hypothesis properties for the image codecs and the robots grammar.
+
+The fixed-vector pins live in test_{imagecodec,gifcodec,bmpcodec,
+jpegcodec}.py; here random inputs widen the net:
+
+* lossless round-trip: PNG/GIF/BMP must return the exact pixels for
+  ANY uint8 image within each codec's contract (GIF needs ≤256 colors
+  — generated via a palette), at arbitrary odd/even dims (stride
+  padding, interlace pass boundaries).
+* cross-codec agreement: all three decoders must agree pixel-for-pixel
+  on the same image, which is exactly the invariant
+  multimodal.pixel_fingerprint's dedup rests on.
+* robots grammar: parse_robots_text / parse_crawl_delay vs
+  urllib.robotparser (the independent stdlib oracle) on GENERATED
+  policies — entry scoping, grouped user-agents, comments, junk lines.
+"""
+
+import urllib.robotparser
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from blockchainspider_spark.functions.bmpcodec import bmp_decode, bmp_encode
+from blockchainspider_spark.functions.gifcodec import gif_decode, gif_encode
+from blockchainspider_spark.functions.imagecodec import png_decode, png_encode
+from blockchainspider_spark.functions.robots import (
+    parse_crawl_delay,
+    parse_robots_text,
+)
+
+
+@st.composite
+def paletted_images(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    n_colors = draw(st.integers(1, 16))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), np.uint8)
+    return pal[rng.integers(0, n_colors, (h, w))]
+
+
+@settings(max_examples=60, deadline=None)
+@given(img=paletted_images())
+def test_codec_roundtrips_and_cross_agreement(img):
+    png = png_decode(png_encode(img))
+    gif = gif_decode(gif_encode(img))
+    bmp = bmp_decode(bmp_encode(img))
+    assert (png == img).all()
+    assert (gif == img).all()
+    assert (bmp == img).all()
+
+
+_UA = ["*", "bigbot", "other"]
+_PATH = ["/", "/a", "/a/b", "/tmp", "/enc%20oded", ""]
+
+
+@st.composite
+def robots_policies(draw):
+    lines = []
+    for _ in range(draw(st.integers(0, 12))):
+        kind = draw(st.sampled_from(
+            ["ua", "disallow", "allow", "delay", "blank", "ws",
+             "comment", "junk"]
+        ))
+        if kind == "ua":
+            lines.append(f"User-agent: {draw(st.sampled_from(_UA))}")
+        elif kind == "disallow":
+            lines.append(f"Disallow: {draw(st.sampled_from(_PATH))}")
+        elif kind == "allow":
+            lines.append(f"Allow: {draw(st.sampled_from(_PATH))}")
+        elif kind == "delay":
+            lines.append(
+                f"Crawl-delay: {draw(st.sampled_from(['3', '10', '1.5', 'x']))}"
+            )
+        elif kind == "blank":
+            lines.append("")
+        elif kind == "ws":
+            lines.append("   ")  # robotparser: NOT an entry terminator
+        elif kind == "comment":
+            lines.append("# a comment")
+        else:
+            lines.append("no colon here")
+    return "\n".join(lines)
+
+
+@settings(max_examples=120, deadline=None)
+@given(txt=robots_policies())
+def test_robots_grammar_matches_stdlib(txt):
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(txt.splitlines())
+    assert parse_crawl_delay(txt) == rp.crawl_delay("*"), txt
+    prefixes = parse_robots_text(txt)
+    # Allow lines aren't modeled (the engine's gate is disallow-prefix
+    # only), so compare can_fetch only on policies without Allow rules —
+    # the generator still exercises Allow for crawl_delay scoping above.
+    if any(ln.lower().startswith("allow") for ln in txt.splitlines()):
+        return
+    for path in ["/", "/a", "/a/b/c", "/tmp/x", "/enc%20oded/y", "/other"]:
+        blocked = any(path.startswith(p) for p in prefixes)
+        assert (not blocked) == rp.can_fetch("*", f"http://h{path}"), (txt, path)
