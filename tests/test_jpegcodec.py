@@ -109,12 +109,17 @@ def test_missing_dht_uses_standard_tables():
     assert np.array_equal(J.jpeg_decode(stripped), J.jpeg_decode(full))
 
 
-def test_progressive_and_truncated_raise_loudly():
+def test_unsupported_sof_and_truncated_raise_loudly():
     px = _gradient(16, 16)
     data = bytearray(J.jpeg_encode(px))
     sof = bytes(data).index(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # pretend progressive
-    with pytest.raises(J.JpegError, match="progressive"):
+    data[sof + 1] = 0xC3  # lossless sequential — out of scope
+    with pytest.raises(J.JpegError, match="unsupported SOF"):
+        J.jpeg_decode(bytes(data))
+    # a baseline stream mislabeled SOF2 has an Se=63 "DC" scan header,
+    # which the progressive path must reject, not misdecode
+    data[sof + 1] = 0xC2
+    with pytest.raises(J.JpegError, match="Se=0"):
         J.jpeg_decode(bytes(data))
     with pytest.raises(J.JpegError):
         J.jpeg_decode(J.jpeg_encode(px)[:40])
@@ -226,3 +231,104 @@ def test_mjpeg_avi_roundtrip_and_frame_sampling():
     assert (fps, w, h, len(got)) == (10.0, 32, 24, 5)
     for orig, dec in zip(frames, got):
         assert psnr(orig, dec) >= 40
+
+
+# ------------------------------------------------ progressive (SOF2)
+
+
+def test_progressive_bitstream_structure():
+    """SOF2 marker present, the libjpeg 10-scan script emitted, and no
+    SOF0 — structural pin so a decoder bug can't hide behind a secretly
+    baseline bitstream."""
+    px = _gradient(20, 28, seed=3)
+    data = J.jpeg_encode_progressive(px, quality=90)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data.split(b"\xff\xda")[0]
+    assert data.count(b"\xff\xda") == 10
+
+
+@pytest.mark.parametrize("dims,sub", [
+    ((16, 16), "444"), ((16, 16), "420"),
+    ((20, 12), "420"),  # non-MCU-aligned 4:2:0: luma grid 3x2 vs padded 4x2 —
+                        # pins the interleaved-vs-non-interleaved block grids
+    ((17, 9), "444"), ((33, 47), "420"),
+])
+def test_progressive_decodes_bit_identical_to_baseline(dims, sub):
+    """Progressive re-encoding is lossless over the quantized
+    coefficients, so decode(progressive) == decode(baseline) EXACTLY —
+    every successive-approximation refine path must reconstruct every
+    coefficient bit."""
+    h, w = dims
+    rng = np.random.default_rng(h * 100 + w)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for q in (50, 95):
+        base = J.jpeg_decode(J.jpeg_encode(px, quality=q, subsampling=sub))
+        prog = J.jpeg_decode(
+            J.jpeg_encode_progressive(px, quality=q, subsampling=sub))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_restart_markers():
+    """DRI in a progressive stream: DC predictors and EOB runs reset at
+    every RSTn in every scan."""
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    base = J.jpeg_decode(J.jpeg_encode(px, quality=85))
+    for ri in (1, 3):
+        prog = J.jpeg_encode_progressive(px, quality=85, restart_interval=ri)
+        assert prog.count(b"\xff\xdd") == 1
+        assert np.array_equal(J.jpeg_decode(prog), base)
+
+
+def test_progressive_through_payload_dispatch():
+    """imagecodec.decode('jpeg') handles SOF2 bytes — the crawl payload
+    path accepts the format most large web JPEGs actually use."""
+    px = _gradient(24, 24, seed=13)
+    data = J.jpeg_encode_progressive(px, quality=95)
+    assert psnr(px, decode(data, "jpeg")) >= 40
+
+
+# ------------------------------------------------ EXIF orientation
+
+
+def test_exif_orientation_parse_and_auto_apply():
+    """All 8 orientation tags, both encoders: auto-oriented decode ==
+    the documented transform of the raw decode; 5-8 swap dimensions."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    for enc in (J.jpeg_encode, J.jpeg_encode_progressive):
+        raw = J.jpeg_decode(enc(px, quality=90))
+        for o in range(1, 9):
+            data = enc(px, quality=90, exif_orientation=o)
+            assert np.array_equal(J.jpeg_decode(data, apply_exif=False), raw)
+            auto = J.jpeg_decode(data)
+            assert np.array_equal(auto, J.apply_exif_orientation(raw, o))
+            assert auto.shape[:2] == ((16, 24) if o >= 5 else (24, 16))
+
+
+def test_exif_orientation_transforms_pinned():
+    """Closed-form pins on a 2x1 asymmetric image: each tag's transform
+    matches the EXIF spec's corner mapping (0th row/0th column rules)."""
+    px = np.array([[[1, 1, 1], [2, 2, 2]]], np.uint8)  # 1 row, 2 cols
+    A = J.apply_exif_orientation
+    assert A(px, 2)[0, 0, 0] == 2            # mirrored horizontally
+    assert A(px, 3)[0, 0, 0] == 2            # rotated 180
+    assert A(px, 6)[0, 0, 0] == 1 and A(px, 6).shape[:2] == (2, 1)  # 90 CW
+    assert A(px, 8)[0, 0, 0] == 2 and A(px, 8).shape[:2] == (2, 1)  # 90 CCW
+    assert A(px, 5)[1, 0, 0] == 2            # transpose
+    with pytest.raises(J.JpegError):
+        A(px, 9)
+
+
+def test_exif_little_endian_and_absent_tag():
+    """Intel byte order parses too, and APP1s without an orientation
+    entry (or non-EXIF APP1s) leave the default upright."""
+    tiff = (b"II" + struct.pack("<HI", 42, 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<HH", 6, 0) + struct.pack("<I", 0))
+    assert J._parse_exif_orientation(tiff) == 6
+    notag = (b"MM" + struct.pack(">HI", 42, 8) + struct.pack(">H", 1)
+             + struct.pack(">HHI", 0x0110, 2, 4) + b"cam\x00"
+             + struct.pack(">I", 0))
+    assert J._parse_exif_orientation(notag) == 0
+    assert J._parse_exif_orientation(b"XX") == 0
