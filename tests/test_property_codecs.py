@@ -10,7 +10,7 @@ jpegcodec}.py; here random inputs widen the net:
 * cross-codec agreement: all three decoders must agree pixel-for-pixel
   on the same image, which is exactly the invariant
   multimodal.pixel_fingerprint's dedup rests on.
-* robots grammar: parse_robots_text / parse_crawl_delay vs
+* robots grammar: parse_robots_rules / parse_crawl_delay vs
   urllib.robotparser (the independent stdlib oracle) on GENERATED
   policies — entry scoping, grouped user-agents, comments, junk lines.
 """
@@ -26,7 +26,7 @@ from blockchainspider_spark.functions.gifcodec import gif_decode, gif_encode
 from blockchainspider_spark.functions.imagecodec import png_decode, png_encode
 from blockchainspider_spark.functions.robots import (
     parse_crawl_delay,
-    parse_robots_text,
+    parse_robots_rules,
 )
 
 
@@ -91,12 +91,44 @@ def test_robots_grammar_matches_stdlib(txt):
     rp = urllib.robotparser.RobotFileParser()
     rp.parse(txt.splitlines())
     assert parse_crawl_delay(txt) == rp.crawl_delay("*"), txt
-    prefixes = parse_robots_text(txt)
-    # Allow lines aren't modeled (the engine's gate is disallow-prefix
-    # only), so compare can_fetch only on policies without Allow rules —
-    # the generator still exercises Allow for crawl_delay scoping above.
-    if any(ln.lower().startswith("allow") for ln in txt.splitlines()):
-        return
+    rules = parse_robots_rules(txt)
+    # first-match-wins over the ordered (prefix, allow) rules — exactly
+    # what apply_robots_gate evaluates JVM-side. Allow lines, allow-all
+    # blank Disallows, and rule shadowing are all modeled (this property
+    # caught the unordered prefix-set model live: "Disallow:" before
+    # "Disallow: /" must allow everything).
     for path in ["/", "/a", "/a/b/c", "/tmp/x", "/enc%20oded/y", "/other"]:
-        blocked = any(path.startswith(p) for p in prefixes)
-        assert (not blocked) == rp.can_fetch("*", f"http://h{path}"), (txt, path)
+        allowed = next((allow for p, allow in rules if path.startswith(p)), True)
+        assert allowed == rp.can_fetch("*", f"http://h{path}"), (txt, path)
+
+
+@st.composite
+def rgb_images(draw):
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=rgb_images(), quality=st.integers(5, 100),
+       sub=st.sampled_from(["444", "420"]),
+       restart=st.sampled_from([0, 0, 0, 1, 3]))
+def test_progressive_jpeg_equals_baseline(img, quality, sub, restart):
+    """Progressive (SOF2) re-encoding is lossless over the quantized
+    coefficients, so decode(progressive) must equal decode(baseline)
+    BIT-EXACTLY for any image/quality/subsampling/restart interval —
+    one property covering every Annex-G scan type the script emits
+    (DC first/refine, banded AC firsts at two shifts, AC refines with
+    EOB-run correction bits)."""
+    from blockchainspider_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    base = jpeg_decode(jpeg_encode(img, quality=quality, subsampling=sub))
+    prog = jpeg_decode(jpeg_encode_progressive(
+        img, quality=quality, subsampling=sub, restart_interval=restart))
+    assert np.array_equal(base, prog)

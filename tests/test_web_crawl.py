@@ -259,3 +259,42 @@ def test_crawl_delay_parser_agrees_with_stdlib(spark):
     )
     got = {r.host: r.crawl_delay for r in parse_crawl_delays(docs).collect()}
     assert got == {"h1": 7.0, "h3": 2.0}  # h2's delay belongs to bigbot
+
+
+def test_robots_gate_first_match_allow_shadowing(spark):
+    """apply_robots_gate evaluates robotparser's FIRST-MATCH-WINS order
+    end-to-end in Spark: an Allow shadows a later broader Disallow, a
+    blank Disallow (= allow-all) shadows EVERYTHING after it, and later
+    '*' entries are discarded — each case pinned against
+    urllib.robotparser on the same URLs."""
+    import urllib.robotparser
+
+    from blockchainspider_spark.functions.robots import apply_robots_gate, parse_robots
+
+    policies = {
+        # Allow: /a shadows Disallow: / for /a... paths only
+        "h1": "User-agent: *\nAllow: /a\nDisallow: /\n",
+        # blank Disallow is an allow-all FIRST rule — nothing blocked
+        "h2": "User-agent: *\nDisallow: \nDisallow: /\n",
+        # second '*' entry discarded: /b stays fetchable
+        "h3": "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n",
+        # reversed order: Disallow: / first → everything blocked
+        "h4": "User-agent: *\nDisallow: /\nAllow: /a\n",
+    }
+    docs = spark.createDataFrame(list(policies.items()),
+                                 "host string, robots_txt string")
+    rules = parse_robots(docs)
+    paths = ["/", "/a", "/a/x", "/b", "/c/d"]
+    urls = spark.createDataFrame(
+        [(f"http://{h}{p}",) for h in policies for p in paths], "url string")
+    kept = {r.url for r in apply_robots_gate(urls, rules).collect()}
+    for h, txt in policies.items():
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(txt.splitlines())
+        for p in paths:
+            url = f"http://{h}{p}"
+            assert (url in kept) == rp.can_fetch("*", url), url
+    assert "http://h1/a/x" in kept and "http://h1/c/d" not in kept
+    assert all(f"http://h2{p}" in kept for p in paths)
+    assert "http://h3/b" in kept and "http://h3/a" not in kept
+    assert "http://h4/a" not in kept
