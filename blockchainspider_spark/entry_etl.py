@@ -1008,6 +1008,110 @@ def q_mm_image_jpeg_sql():
     """
 
 
+def q_mm_image_jpeg_prog(spark, sf_dir):
+    """Progressive-JPEG payload gate (round 6 continuation): most large
+    web JPEGs are SOF2, so the crawl payload contract must hold on
+    them, not just on baseline. Per doc build a 16×12 gradient, encode
+    through the REAL progressive codec (functions/jpegcodec.py —
+    T.81 Annex G spectral selection + successive approximation,
+    libjpeg's 10-scan script; odd docs 4:2:0) with an EXIF orientation
+    tag cycling 1..8, decode through the public payload dispatch, and
+    emit invariants the oracle states analytically: (a) the raw decode
+    is BIT-EXACTLY equal to decoding the baseline encoding of the same
+    pixels (progressive re-encoding is lossless over the quantized
+    coefficients — the strongest possible cross-path check), (b) the
+    auto-oriented dims swap exactly for orientations 5-8, (c) PSNR ≥
+    40 dB / lossy / SSIM ≥ 0.95 vs the oriented original, (d) channel
+    mean survives orientation (a pixel permutation) within 1 LSB of
+    the closed form. SELF-CHECKING: raises if any row violates a
+    floor."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.imagecodec import decode, psnr, ssim
+    from blockchainspider_spark.functions.jpegcodec import (
+        apply_exif_orientation,
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+    from blockchainspider_spark.operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": [], "prog_exact": [],
+                   "psnr_db": [], "ssim_v": [], "mean_r_true": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                yy, xx = np.mgrid[0:12, 0:16]
+                px = np.stack(
+                    [did * 2 + xx + yy, did + 2 * xx, 40 + did + 2 * yy],
+                    axis=-1,
+                ).astype(np.uint8)
+                orient = did % 8 + 1
+                sub = "420" if did % 2 else "444"
+                data = jpeg_encode_progressive(
+                    px, quality=95, subsampling=sub, exif_orientation=orient)
+                raw = jpeg_decode(data, apply_exif=False)
+                base = jpeg_decode(jpeg_encode(px, quality=95, subsampling=sub))
+                oriented = decode(data, "jpeg")       # payload path, auto-orients
+                want = apply_exif_orientation(px, orient)
+                out["image_id"].append(f"doc-{did}")
+                out["bytes"].append(data)
+                out["fmt"].append("jpeg")
+                out["prog_exact"].append(bool(np.array_equal(raw, base)))
+                out["psnr_db"].append(psnr(want, oriented))
+                out["ssim_v"].append(ssim(want, oriented))
+                # mean_r is orientation-invariant (pure pixel permutation):
+                # mean(did*2 + xx + yy) = did*2 + mean(xx) + mean(yy)
+                out["mean_r_true"].append(did * 2 + 7.5 + 5.5)
+            yield pd.DataFrame(out)
+
+    images = d.mapInPandas(
+        build,
+        "image_id string, bytes binary, fmt string, prog_exact boolean, "
+        "psnr_db double, ssim_v double, mean_r_true double",
+    )
+    feats = image_features(images.select("image_id", "bytes", "fmt"))
+    res = (
+        feats.join(images.select("image_id", "prog_exact", "psnr_db",
+                                 "ssim_v", "mean_r_true"), on="image_id")
+        .select(
+            "image_id", "w", "h",
+            "prog_exact",
+            (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
+            (~F.isnull("psnr_db") & (F.col("psnr_db") != float("inf"))).alias("lossy"),
+            (F.col("ssim_v") >= 0.95).alias("ssim_ok"),
+            (F.abs(F.col("mean_r") - F.col("mean_r_true")) < 1.0).alias("mean_r_close"),
+        )
+    )
+    bad = res.where(
+        ~F.col("prog_exact") | ~F.col("psnr_ok") | ~F.col("lossy")
+        | ~F.col("ssim_ok") | ~F.col("mean_r_close")
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"mm_image_jpeg_prog: {bad} images violate the progressive-JPEG "
+            "contract (bit-parity with baseline / PSNR≥40 / SSIM≥0.95 / "
+            "orientation mean parity)"
+        )
+    return res
+
+
+def q_mm_image_jpeg_prog_sql():
+    # orientations 5-8 (doc_id % 8 in 4..7) swap the 16x12 dims
+    return """
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(CASE WHEN doc_id % 8 >= 4 THEN 12 ELSE 16 END AS INTEGER) AS w,
+           CAST(CASE WHEN doc_id % 8 >= 4 THEN 16 ELSE 12 END AS INTEGER) AS h,
+           TRUE AS prog_exact, TRUE AS psnr_ok, TRUE AS lossy,
+           TRUE AS ssim_ok, TRUE AS mean_r_close
+    FROM documents WHERE doc_id < 64
+    """
+
+
 def q_f4b_uint256_sum(spark, sf_dir):
     """F4b: exact >2^63 wei sums (SURVEY §7 hard point 3). Every planted
     value has the top bit of a 64-bit word set (2^63 + event_id·10^9 —
