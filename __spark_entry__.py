@@ -41,7 +41,7 @@ _WINDOW_DEMOTE = [
     "s5_utxo_explode", "f2_url_canonicalize",
     "f10_html_strip", "s12_trace_flatten", "s19_scamdb_feed",
     "s16_link_extract", "p3_symbol_identity", "o6_priority_queue",
-    "k8b_motif_triangles", "k1_csv_header",
+    "k8b_motif_triangles", "k1_csv_header", "a14_cache_hitrate",
 ]
 
 
@@ -115,13 +115,17 @@ def _collect_suites(idx: int) -> dict:
     cross-restart dedup state pinned in
     tests/test_streaming_windowed.py — its slot freed by demoting the
     driver-green-r5 s16_link_extract).
-    The round-6 continuation adds mm_image_jpeg_prog (position 15:
+    The round-6 continuation adds mm_image_jpeg_prog (position 14:
     REAL progressive/SOF2 JPEG through the payload dispatch — raw
     decode bit-identical to the baseline encoding of the same pixels,
     EXIF auto-orientation dim swap, PSNR/SSIM floors — full oracle;
     its slot freed by demoting the driver-green-r5, unchanged
-    k1_csv_header).
-    Gate is now 107 rows / 104 oracles; the crawl suite sits
+    k1_csv_header) and mm_image_gif_anim (position 15: REAL animated
+    GIF — sub-rect + transparent delta frames composited through the
+    same sample_frames operator the AVI path uses, pixel-exact, full
+    oracle; slot freed by demoting the driver-green-r5, unchanged
+    a14_cache_hitrate).
+    Gate is now 108 rows / 105 oracles; the crawl suite sits
     at 29-37 and the new dedup rows fill 38-50 — every in-window
     dedup slot is a round-6 row; d1-d6 (driver-green r5) sit just
     past the cut. s5_utxo_explode, f2_url_canonicalize,

@@ -1112,6 +1112,84 @@ def q_mm_image_jpeg_prog_sql():
     """
 
 
+def q_mm_image_gif_anim(spark, sf_dir):
+    """Animated-GIF payload gate (round 6 continuation): per doc build 4
+    deterministic 12×16 frames (a sweeping block over a paletted base,
+    so consecutive frames differ only in a sub-rectangle), encode
+    through the REAL animated-GIF writer (functions/gifcodec.py —
+    GIF89a, NETSCAPE2.0 loop, per-frame GCE, sub-rect + transparent
+    delta optimization), then sample frames through the SAME
+    sample_frames operator the AVI path uses (every_k=2 → frames 0 and
+    2). Frame 2 only decodes correctly if the compositor stacked the
+    delta frames 1 and 2 onto the canvas, so ``lossless`` certifies
+    compositing, not just LZW. GIF is palette-lossless: equality is
+    exact. SELF-CHECKING: raises on any mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.gifcodec import gif_encode_animation
+    from blockchainspider_spark.functions.imagecodec import png_decode
+    from blockchainspider_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 8).select("doc_id")
+
+    def _aframe(did: int, f: int) -> "np.ndarray":
+        yy, xx = np.mgrid[0:12, 0:16]
+        base = ((xx // 2 + yy // 2 + did) % 8) * 30
+        px = np.stack(
+            [base, 255 - base, np.full_like(base, (did * 5) % 256)], axis=-1
+        ).astype(np.uint8)
+        px[4:8, (4 * f) % 12:(4 * f) % 12 + 4] = (200, 10, (did * 7) % 256)
+        return px
+
+    def build(batches):
+        for pdf in batches:
+            out = {"video_id": [], "bytes": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [_aframe(did, f) for f in range(4)]
+                out["video_id"].append(f"anim-{did}")
+                out["bytes"].append(gif_encode_animation(
+                    frames, delays_cs=[10, 20, 30, 40], loop=0))
+            yield pd.DataFrame(out)
+
+    vids = d.mapInPandas(build, "video_id string, bytes binary")
+    frames = sample_frames(vids, every_k=2)     # frame_idx 0 and 2
+
+    def verify(batches):
+        for pdf in batches:
+            out = {"frame_key": [], "w": [], "h": [], "lossless": []}
+            for r in pdf.itertuples(index=False):
+                did = int(r.video_id.split("-")[1])
+                dec = png_decode(bytes(r.bytes))
+                orig = _aframe(did, int(r.frame_idx))
+                out["frame_key"].append(f"{r.video_id}#{r.frame_idx}")
+                out["w"].append(int(r.w))
+                out["h"].append(int(r.h))
+                out["lossless"].append(bool(np.array_equal(dec, orig)))
+            yield pd.DataFrame(out)
+
+    res = frames.mapInPandas(
+        verify, "frame_key string, w int, h int, lossless boolean")
+    bad = res.where(~F.col("lossless")).count()
+    if bad:
+        raise AssertionError(
+            f"mm_image_gif_anim: {bad} composited frames are not pixel-exact"
+        )
+    return res
+
+
+def q_mm_image_gif_anim_sql():
+    return """
+    WITH f AS (SELECT unnest([0, 2]) AS fidx)
+    SELECT 'anim-' || CAST(doc_id AS VARCHAR) || '#' || CAST(fidx AS VARCHAR)
+             AS frame_key,
+           CAST(16 AS INTEGER) AS w, CAST(12 AS INTEGER) AS h,
+           TRUE AS lossless
+    FROM documents, f WHERE doc_id < 8
+    """
+
+
 def q_f4b_uint256_sum(spark, sf_dir):
     """F4b: exact >2^63 wei sums (SURVEY §7 hard point 3). Every planted
     value has the top bit of a 64-bit word set (2^63 + event_id·10^9 —

@@ -14,6 +14,15 @@ Scope, honestly stated:
   global/local color tables, 87a and 89a, extensions skipped,
   transparency ignored; interlaced images de-interlace per the spec's
   four-pass row schedule (8/0, 8/4, 4/2, 2/1).
+* animation (round 6 continuation) — ``gif_encode_animation`` writes
+  GIF89a with the NETSCAPE2.0 loop extension, per-frame Graphic
+  Control Extensions, and (``optimize=True``) inter-frame delta
+  compression: each frame stores only the bounding box of pixels that
+  changed, unchanged pixels inside the box as the transparent index.
+  ``gif_decode_frames`` is a full compositor: disposal methods
+  none/keep (0/1), restore-background (2), restore-previous (3),
+  transparency, local palettes, interlaced sub-rects — what a browser
+  renders per frame. The round trip is pixel-exact.
 * LZW per the GIF spec: variable-width codes from min_code_size+1 up
   to 12 bits, clear/EOI codes, LSB-first bit packing, 255-byte
   sub-blocks, dictionary reset on overflow; decoder handles the
@@ -201,6 +210,192 @@ def gif_encode(pixels: np.ndarray) -> bytes:
         out += chunk
     out += b"\x00\x3b"  # block terminator + trailer
     return bytes(out)
+
+
+def _sub_blocks(payload: bytes) -> bytes:
+    """Wrap raw LZW bytes into GIF's 255-byte data sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def gif_encode_animation(frames: list[np.ndarray],
+                         delays_cs: list[int] | None = None,
+                         loop: int = 0, optimize: bool = True) -> bytes:
+    """Same-size uint8 HxWx3 frames → animated GIF89a (NETSCAPE2.0 loop
+    extension, per-frame GCE with centisecond delays, disposal=keep).
+
+    ``optimize=True`` performs real inter-frame delta compression:
+    frame N stores only the bounding box of pixels differing from the
+    composited previous frame, with unchanged pixels inside the box as
+    a reserved transparent index — the standard GIF optimizer shape,
+    and exactly what exercises a decoder's compositing paths. The
+    union color set across all frames must fit the global table (255
+    colors with optimize — one slot is the transparent index — else
+    256); larger inputs raise (quantize_palette is the explicit
+    opt-in). Lossless: gif_decode_frames returns the exact inputs."""
+    if not frames:
+        raise GifError("gif_encode_animation needs at least one frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.ndim != 3 or f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise GifError("all frames must be uint8 HxWx3 of equal size")
+    n = len(frames)
+    delays = list(delays_cs) if delays_cs is not None else [10] * n
+    if len(delays) != n:
+        raise GifError(f"{len(delays)} delays for {n} frames")
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    limit = 255 if optimize else 256
+    if len(colors) > limit:
+        raise GifError(
+            f"{len(colors)} distinct colors across frames > {limit} — "
+            "quantize before gif_encode_animation"
+        )
+    tindex = len(colors)                     # reserved (optimize only)
+    n_slots = len(colors) + (1 if optimize else 0)
+    depth = max(1, int(n_slots - 1).bit_length())
+    pal = np.zeros((1 << depth, 3), np.uint8)
+    pal[: len(colors)] = colors
+    per_frame_idx = inverse.reshape(n, h, w).astype(np.uint8)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h,
+                       0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + struct.pack("<H", loop) + b"\x00")
+    min_code_size = max(2, depth)
+    prev: np.ndarray | None = None
+    for fi in range(n):
+        idx = per_frame_idx[fi]
+        if prev is None or not optimize:
+            x0 = y0 = 0
+            rect = idx
+            transparent = False
+        else:
+            diff = idx != prev
+            if diff.any():
+                ys, xs = np.nonzero(diff)
+                y0, y1 = int(ys.min()), int(ys.max()) + 1
+                x0, x1 = int(xs.min()), int(xs.max()) + 1
+            else:
+                # identical frame: a 1x1 fully-transparent rect still
+                # carries the delay
+                y0, y1, x0, x1 = 0, 1, 0, 1
+            rect = idx[y0:y1, x0:x1].copy()
+            keep = diff[y0:y1, x0:x1]
+            rect[~keep] = tindex
+            transparent = True
+        gce_flags = (1 << 2) | (1 if transparent else 0)  # disposal=keep
+        out += (b"\x21\xf9\x04" + bytes([gce_flags])
+                + struct.pack("<H", delays[fi])
+                + bytes([tindex if transparent else 0, 0]))
+        rh, rw = rect.shape
+        out += b"\x2c" + struct.pack("<HHHHB", x0, y0, rw, rh, 0)
+        out.append(min_code_size)
+        out += _sub_blocks(_lzw_encode(rect.reshape(-1), min_code_size))
+        prev = idx
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode_frames(data: bytes) -> tuple[list[np.ndarray], list[int], int]:
+    """Animated (or single-frame) GIF → (composited RGB frames, per-frame
+    delays in centiseconds, loop count). Full compositor: each returned
+    frame is the logical screen as a renderer would show it —
+    sub-rectangle frames drawn over the canvas, transparent pixels
+    skipped, disposal none/keep (0/1) persisting, restore-background
+    (2) refilling the rect, restore-previous (3) reverting the draw;
+    local palettes and interlaced sub-images honored."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise GifError(f"not a GIF header: {data[:6]!r}")
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        ncol = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * ncol], np.uint8).reshape(ncol, 3)
+        pos += 3 * ncol
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    loop = 0
+    # pending GCE state (applies to the next image block only)
+    disposal, delay, tflag, tindex = 0, 0, False, 0
+
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = data[pos]
+            pos += 1
+            blocks = []
+            while data[pos]:
+                ln = data[pos]
+                blocks.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and blocks:                 # GCE
+                gflags = blocks[0][0]
+                disposal = (gflags >> 2) & 0x07
+                (delay,) = struct.unpack("<H", blocks[0][1:3])
+                tflag = bool(gflags & 0x01)
+                tindex = blocks[0][3]
+            elif label == 0xFF and blocks and blocks[0] == b"NETSCAPE2.0":
+                if len(blocks) > 1 and blocks[1][:1] == b"\x01":
+                    (loop,) = struct.unpack("<H", blocks[1][1:3])
+            continue
+        if b != 0x2C:
+            raise GifError(f"unexpected block 0x{b:02x} at {pos - 1}")
+        x, y, w, h, iflags = struct.unpack("<HHHHB", data[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            ncol = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data[pos:pos + 3 * ncol], np.uint8).reshape(ncol, 3)
+            pos += 3 * ncol
+        if pal is None:
+            raise GifError("image has neither global nor local color table")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(bytes(lzw), min_code_size), np.uint8)
+        if len(idx) < w * h:
+            raise GifError(f"LZW stream short: {len(idx)} of {w * h} pixels")
+        idx = idx[: w * h].reshape(h, w)
+        if iflags & 0x40:
+            deint = np.empty_like(idx)
+            deint[interlace_row_order(h)] = idx
+            idx = deint
+        opaque = idx != tindex if tflag else np.ones_like(idx, bool)
+        if (idx[opaque] >= len(pal)).any():
+            raise GifError("palette index out of range")
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[y:y + h, x:x + w]
+        region[opaque] = pal[idx[opaque]]
+        frames.append(canvas.copy())
+        delays.append(int(delay))
+        if disposal == 2:
+            canvas[y:y + h, x:x + w] = bg_rgb
+        elif disposal == 3:
+            canvas = saved
+        disposal, delay, tflag, tindex = 0, 0, False, 0
+    if not frames:
+        raise GifError("no image descriptor found")
+    return frames, delays, loop
 
 
 def gif_decode(data: bytes) -> np.ndarray:

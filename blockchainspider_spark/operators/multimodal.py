@@ -195,9 +195,12 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
     """Frame sampling: one output row per sampled frame. REAL for
     uncompressed AVI (RIFF 'AVI ' with BI_RGB 'DIB ' frames), for MJPEG
     AVI (each '00dc' chunk a baseline JFIF image decoded by the numpy
-    JPEG codec — functions/avicodec.py + jpegcodec.py, round 6), and
-    for the synthetic 'RAWV' test container; other compressed codecs
-    (h264, …) refuse loudly via AviError."""
+    JPEG codec — functions/avicodec.py + jpegcodec.py, round 6), for
+    ANIMATED GIF (full compositor: sub-rect delta frames, transparency,
+    disposal methods — functions/gifcodec.py, round 6 continuation; the
+    dominant animated format in a web crawl), and for the synthetic
+    'RAWV' test container; other compressed codecs (h264, …) refuse
+    loudly via AviError."""
 
     def _iter_frames(data: bytes):
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
@@ -206,6 +209,13 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
             _fps, w, h, frames = parse_avi(data)
             for i, frame in enumerate(frames):
                 yield i, w, h, frame
+            return
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from blockchainspider_spark.functions.gifcodec import gif_decode_frames
+
+            frames, _delays, _loop = gif_decode_frames(data)
+            for i, frame in enumerate(frames):
+                yield i, frame.shape[1], frame.shape[0], frame
             return
         if data[:4] != b"RAWV":
             raise NotImplementedError(

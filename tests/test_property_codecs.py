@@ -132,3 +132,49 @@ def test_progressive_jpeg_equals_baseline(img, quality, sub, restart):
     prog = jpeg_decode(jpeg_encode_progressive(
         img, quality=quality, subsampling=sub, restart_interval=restart))
     assert np.array_equal(base, prog)
+
+
+@st.composite
+def paletted_animations(draw):
+    n = draw(st.integers(1, 5))
+    h = draw(st.integers(1, 16))
+    w = draw(st.integers(1, 16))
+    n_colors = draw(st.integers(1, 12))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), np.uint8)
+    # mix of static and changing frames so the delta optimizer hits
+    # full-rect, sub-rect, and identical-frame (1x1 transparent) paths
+    frames = [pal[rng.integers(0, n_colors, (h, w))]]
+    for _ in range(n - 1):
+        if rng.integers(0, 3) == 0:
+            frames.append(frames[-1].copy())
+        else:
+            nxt = frames[-1].copy()
+            y0, x0 = rng.integers(0, h), rng.integers(0, w)
+            y1, x1 = rng.integers(y0, h) + 1, rng.integers(x0, w) + 1
+            nxt[y0:y1, x0:x1] = pal[rng.integers(0, n_colors,
+                                                 (y1 - y0, x1 - x0))]
+            frames.append(nxt)
+    delays = [int(d) for d in rng.integers(1, 500, n)]
+    return frames, delays
+
+
+@settings(max_examples=50, deadline=None)
+@given(anim=paletted_animations(), optimize=st.booleans())
+def test_gif_animation_roundtrip(anim, optimize):
+    """Animated GIF must return the exact composited frame stack and
+    delays for ANY same-size paletted frames, optimized (sub-rect +
+    transparent delta) or not."""
+    from blockchainspider_spark.functions.gifcodec import (
+        gif_decode_frames,
+        gif_encode_animation,
+    )
+
+    frames, delays = anim
+    data = gif_encode_animation(frames, delays, loop=2, optimize=optimize)
+    dec, ddel, loop = gif_decode_frames(data)
+    assert (ddel, loop) == (delays, 2)
+    assert len(dec) == len(frames)
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
