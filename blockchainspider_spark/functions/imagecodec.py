@@ -191,7 +191,33 @@ def qjpeg_decode(data: bytes) -> np.ndarray:
     return raw.reshape(h, w, 3)
 
 
+def sniff_format(data: bytes) -> str | None:
+    """Magic-number content sniffing for the payload dispatch. Real
+    crawls cannot trust a server's Content-Type (or a table's ``fmt``
+    column built from one): browsers sniff image bytes, and so must
+    the payload path. Returns the codec key ``decode`` accepts, or
+    None for unrecognized bytes."""
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == _QJPEG_MAGIC:
+        return "jpeg"       # legacy r≤5 synthetic fixtures
+    return None
+
+
 def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "auto":
+        sniffed = sniff_format(data)
+        if sniffed is None:
+            raise ValueError(
+                f"unrecognized image magic {bytes(data[:8])!r} — cannot sniff"
+            )
+        fmt = sniffed
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":

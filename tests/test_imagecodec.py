@@ -231,3 +231,45 @@ def test_png_color_types_gray_palette_alpha():
     data16 = _PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
     with pytest.raises(AssertionError, match="bit depth 8"):
         png_decode(data16)
+
+
+def test_sniff_format_and_auto_dispatch():
+    """Magic sniffing: the same pixels encoded in every real format
+    dispatch correctly with fmt='auto' (servers lie about Content-Type;
+    the payload path must not trust the fmt column blindly), and
+    unrecognizable bytes are loud."""
+    import pytest
+
+    from blockchainspider_spark.functions.bmpcodec import bmp_encode
+    from blockchainspider_spark.functions.gifcodec import gif_encode
+    from blockchainspider_spark.functions.imagecodec import (
+        decode,
+        png_encode,
+        psnr,
+        sniff_format,
+    )
+    from blockchainspider_spark.functions.jpegcodec import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (12, 3), np.uint8)
+    px = pal[rng.integers(0, 12, (16, 16))]
+    cases = {
+        "png": png_encode(px),
+        "gif": gif_encode(px),
+        "bmp": bmp_encode(px),
+    }
+    for fmt, data in cases.items():
+        assert sniff_format(data) == fmt
+        assert np.array_equal(decode(data, "auto"), px)
+    yy, xx = np.mgrid[0:16, 0:16]
+    smooth = np.stack([xx * 9, yy * 7, xx + yy], -1).astype(np.uint8)
+    for data in (jpeg_encode(smooth, quality=95),
+                 jpeg_encode_progressive(smooth, quality=95)):
+        assert sniff_format(data) == "jpeg"
+        assert psnr(smooth, decode(data, "auto")) >= 40
+    assert sniff_format(b"\x00\x01garbage") is None
+    with pytest.raises(ValueError, match="sniff"):
+        decode(b"\x00\x01garbage", "auto")
