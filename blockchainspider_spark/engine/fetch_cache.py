@@ -9,6 +9,15 @@
   retry.py:9-35): failed rows re-enter the next retry wave with
   ``retry_cnt``+1 until ``max_retry``; terminal failures surface with
   status='failed' instead of blocking the barrier (T11).
+* ``RevalidatingFetcher`` (round 6 continuation) — HTTP conditional
+  revalidation for RECRAWL loops (RFC 9110 §13.1.1-13.1.3: ETag /
+  If-None-Match, Last-Modified / If-Modified-Since, 304 Not Modified).
+  The reference's APIMemoryCache never revisits a key; a web crawler
+  refreshing a corpus re-fetches every URL, and validators turn most
+  of those into header-only 304s. Cache entries carry validators; a
+  re-fetch ships them to the fetch kernel; 304 serves the cached body,
+  200 replaces the entry. This is this repo's addition for the crawl
+  axis (no reference twin).
 """
 
 from __future__ import annotations
@@ -117,6 +126,130 @@ class CachedFetcher:
         # row, duplicates included) so the fetch kernel runs exactly once
         served = misses.select("cache_key").join(delta, on="cache_key", how="inner")
         return hits.unionByName(served)
+
+
+@dataclass
+class RevalStats:
+    misses: int
+    revalidated: int
+    changed: int
+
+    @property
+    def revalidation_rate(self) -> float:
+        total = self.misses + self.revalidated + self.changed
+        return self.revalidated / total if total else 0.0
+
+
+REVAL_CACHE_SCHEMA = "cache_key string, etag string, last_modified long, response string"
+REVAL_FETCH_SCHEMA = ("cache_key string, status int, etag string, "
+                      "last_modified long, response string")
+
+
+class RevalidatingFetcher:
+    """Conditional-revalidation cache for recrawl waves.
+
+    cache table: ``(cache_key, etag, last_modified, response)``,
+    hash-partitioned on cache_key.
+
+    ``fetch_fn`` receives ``(cache_key, if_none_match, if_modified_since)``
+    (validators null for uncached keys) and must return
+    ``REVAL_FETCH_SCHEMA`` rows: status 304 ⇒ body/validators may be
+    null (the cached entry is reused verbatim — we deliberately do NOT
+    merge refreshed validators from a 304, keeping entries
+    deterministic); status 200 ⇒ new body + validators replace the
+    entry. Every requested key gets a ``revalidation`` class in the
+    result: 'miss' (not cached), 'revalidated' (304), 'changed' (200
+    over an existing entry).
+
+    Scale shape: unlike ``CachedFetcher``'s append-only delta, a
+    recrawl MUTATES entries, so the cache update is an anti-join +
+    union keyed on cache_key — one shuffle per wave over the touched
+    partition ranges. The union/anti-join plan chain is compacted to a
+    scratch parquet every ``compact_every`` waves exactly like
+    CachedFetcher, so plan depth stays bounded on long recrawl loops."""
+
+    def __init__(self, spark, fetch_fn: Callable[[DataFrame], DataFrame],
+                 broadcast_threshold: int = 1_000_000, compact_every: int = 8):
+        self.spark = spark
+        self.fetch_fn = fetch_fn
+        self.cache = spark.createDataFrame([], REVAL_CACHE_SCHEMA)
+        self.stats: list[RevalStats] = []
+        self.broadcast_threshold = broadcast_threshold
+        self.compact_every = compact_every
+        self._cache_size = 0
+        self._waves = 0
+        self._pinned: list[DataFrame] = []
+        self._work_dir: str | None = None
+        self._compact_id = 0
+
+    def _compact(self) -> None:
+        if self._work_dir is None:
+            self._work_dir = tempfile.mkdtemp(prefix="revalcache-")
+        self._compact_id += 1
+        out = os.path.join(self._work_dir, f"compact_{self._compact_id:05d}")
+        self.cache.repartition("cache_key").write.mode("overwrite").parquet(out)
+        for d in self._pinned:
+            d.unpersist()
+        self._pinned = []
+        self._waves = 0
+        self.cache = self.spark.read.parquet(out)
+
+    def fetch(self, requests: DataFrame) -> DataFrame:
+        """requests must carry ``cache_key``; returns one row per request
+        with ``response`` and ``revalidation`` ∈ {miss, revalidated,
+        changed} appended."""
+        keys = requests.select("cache_key").dropDuplicates(["cache_key"])
+        cache = (F.broadcast(self.cache)
+                 if self._cache_size <= self.broadcast_threshold else self.cache)
+        probe = keys.join(cache, on="cache_key", how="left")
+        fetched = self.fetch_fn(probe.select(
+            "cache_key",
+            F.col("etag").alias("if_none_match"),
+            F.col("last_modified").alias("if_modified_since"),
+        ))
+        merged = (
+            probe.select(
+                "cache_key",
+                F.col("etag").alias("_old_etag"),
+                F.col("last_modified").alias("_old_lm"),
+                F.col("response").alias("_cached"),
+            )
+            .join(fetched, on="cache_key", how="inner")
+        )
+        reval = F.col("status") == 304
+        entries = merged.select(
+            "cache_key",
+            F.when(reval, F.col("_old_etag")).otherwise(F.col("etag")).alias("etag"),
+            F.when(reval, F.col("_old_lm")).otherwise(F.col("last_modified"))
+             .alias("last_modified"),
+            F.when(reval, F.col("_cached")).otherwise(F.col("response"))
+             .alias("response"),
+            F.when(reval, F.lit("revalidated"))
+             .when(F.col("_cached").isNull(), F.lit("miss"))
+             .otherwise(F.lit("changed")).alias("revalidation"),
+        ).persist()
+        self._pinned.append(entries)
+        agg = entries.groupBy("revalidation").count().collect()
+        counts = {r["revalidation"]: int(r["count"]) for r in agg}
+        self.stats.append(RevalStats(
+            misses=counts.get("miss", 0),
+            revalidated=counts.get("revalidated", 0),
+            changed=counts.get("changed", 0),
+        ))
+        self._cache_size = (self._cache_size
+                            + counts.get("miss", 0))
+        self.cache = (
+            self.cache.join(keys, on="cache_key", how="left_anti")
+            .unionByName(entries.select("cache_key", "etag",
+                                        "last_modified", "response"))
+        )
+        self._waves += 1
+        if self._waves >= self.compact_every:
+            self._compact()
+        return requests.join(
+            entries.select("cache_key", "response", "revalidation"),
+            on="cache_key", how="inner",
+        )
 
 
 def fetch_with_retries(

@@ -1190,6 +1190,101 @@ def q_mm_image_gif_anim_sql():
     """
 
 
+def q_t15_revalidate(spark, sf_dir):
+    """T15 (round 6 continuation, no reference twin — crawl-axis
+    addition): HTTP conditional revalidation over a recrawl loop.
+    Wave 1 fetches 300 doc URLs into the validator cache (all misses);
+    between waves every doc_id % 3 == 0 body changes; wave 2 re-fetches
+    the SAME keys with If-None-Match — the deterministic origin kernel
+    answers 304 for matching ETags (null body: the engine must serve
+    the CACHED bytes) and 200 with the new body otherwise. Emits the
+    wave-2 classification + final body per doc, both closed-form.
+    SELF-CHECKING: raises if wave 2 contains any 'miss' (validators
+    lost), if revalidated bodies differ from wave 1's, or if the stats
+    don't show exactly 200 revalidated / 100 changed."""
+    import hashlib
+
+    import pandas as pd
+
+    from blockchainspider_spark.engine.fetch_cache import (
+        REVAL_FETCH_SCHEMA,
+        RevalidatingFetcher,
+    )
+
+    wave_state = {"n": 1}
+
+    def fetch_fn(reqs):
+        wave = wave_state["n"]
+
+        def kernel(batches):
+            for pdf in batches:
+                out = {"cache_key": [], "status": [], "etag": [],
+                       "last_modified": [], "response": []}
+                for r in pdf.itertuples(index=False):
+                    did = int(r.cache_key.rsplit("/", 1)[1])
+                    ver = 2 if wave >= 2 and did % 3 == 0 else 1
+                    body = f"v{ver}-doc{did}"
+                    etag = hashlib.md5(body.encode()).hexdigest()[:8]
+                    out["cache_key"].append(r.cache_key)
+                    if r.if_none_match == etag:
+                        out["status"].append(304)
+                        out["etag"].append(None)
+                        out["last_modified"].append(None)
+                        out["response"].append(None)
+                    else:
+                        out["status"].append(200)
+                        out["etag"].append(etag)
+                        out["last_modified"].append(ver * 1000)
+                        out["response"].append(body)
+                yield pd.DataFrame(out)
+
+        return reqs.mapInPandas(kernel, REVAL_FETCH_SCHEMA)
+
+    fetcher = RevalidatingFetcher(spark, fetch_fn)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    reqs = d.select(
+        "doc_id",
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit("/doc/"), F.col("doc_id").cast("string")).alias("cache_key"),
+    )
+    wave1 = fetcher.fetch(reqs).select(
+        "doc_id", F.col("response").alias("_body1"))
+    s1 = fetcher.stats[-1]
+    if (s1.misses, s1.revalidated, s1.changed) != (300, 0, 0):
+        raise AssertionError(f"t15_revalidate wave 1 stats wrong: {s1}")
+    wave_state["n"] = 2
+    res = (
+        fetcher.fetch(reqs).select("doc_id", "revalidation", "response")
+        .join(wave1, on="doc_id")
+        .select(
+            "doc_id", "revalidation", "response",
+            ((F.col("revalidation") != "revalidated")
+             | (F.col("response") == F.col("_body1"))).alias("_reval_served_cache"),
+        )
+    )
+    bad = res.where(
+        (F.col("revalidation") == "miss") | ~F.col("_reval_served_cache")
+    ).count()
+    s2 = fetcher.stats[-1]
+    if bad or (s2.misses, s2.revalidated, s2.changed) != (0, 200, 100):
+        raise AssertionError(
+            f"t15_revalidate: {bad} bad rows, wave-2 stats {s2} — "
+            "conditional revalidation contract broken"
+        )
+    return res.select("doc_id", "revalidation", "response")
+
+
+def q_t15_revalidate_sql():
+    return """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'changed' ELSE 'revalidated' END
+             AS revalidation,
+           'v' || (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::VARCHAR
+               || '-doc' || doc_id::VARCHAR AS response
+    FROM documents WHERE doc_id < 300
+    """
+
+
 def q_f4b_uint256_sum(spark, sf_dir):
     """F4b: exact >2^63 wei sums (SURVEY §7 hard point 3). Every planted
     value has the top bit of a 64-bit word set (2^63 + event_id·10^9 —

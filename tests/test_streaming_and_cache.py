@@ -232,3 +232,107 @@ def test_crawl_delay_overrides_global_qps(spark, images_df):
     elapsed = time.monotonic() - t0
     assert len(rows) == n
     assert elapsed >= (n - 1) * 0.05, f"crawl-delay ignored: {elapsed:.3f}s"
+
+
+def _versioned_server(current_version):
+    """Deterministic fake origin: body = 'v{ver}-{key}', strong ETag =
+    md5(body)[:8]. Honors If-None-Match with 304 (null body/validators).
+    current_version(key) -> int decides per-key content."""
+    import hashlib
+
+    import pandas as pd
+
+    from blockchainspider_spark.engine.fetch_cache import REVAL_FETCH_SCHEMA
+
+    def fetch_fn(reqs):
+        def kernel(batches):
+            for pdf in batches:
+                out = {"cache_key": [], "status": [], "etag": [],
+                       "last_modified": [], "response": []}
+                for r in pdf.itertuples(index=False):
+                    ver = current_version(r.cache_key)
+                    body = f"v{ver}-{r.cache_key}"
+                    etag = hashlib.md5(body.encode()).hexdigest()[:8]
+                    out["cache_key"].append(r.cache_key)
+                    if r.if_none_match == etag:
+                        out["status"].append(304)
+                        out["etag"].append(None)
+                        out["last_modified"].append(None)
+                        out["response"].append(None)
+                    else:
+                        out["status"].append(200)
+                        out["etag"].append(etag)
+                        out["last_modified"].append(ver * 1000)
+                        out["response"].append(body)
+                yield pd.DataFrame(out)
+
+        return reqs.mapInPandas(kernel, REVAL_FETCH_SCHEMA)
+
+    return fetch_fn
+
+
+def test_revalidating_fetcher_304_reuse_and_200_replace(spark):
+    """Recrawl loop: wave 1 all misses; wave 2 (content unchanged) all
+    304-revalidated serving the CACHED body; wave 3 (every 3rd key
+    changed) mixes 'changed' (new body) and 'revalidated'. Stats and
+    bodies pinned exactly."""
+    from blockchainspider_spark.engine.fetch_cache import RevalidatingFetcher
+
+    version = {"now": 1}
+
+    def cur(key):
+        if version["now"] >= 2 and int(key.rsplit("-", 1)[1]) % 3 == 0:
+            return 2
+        return 1
+
+    f = RevalidatingFetcher(spark, _versioned_server(cur), compact_every=2)
+    reqs = spark.createDataFrame(
+        [(f"k-{i}",) for i in range(30)], "cache_key string")
+
+    r1 = {r.cache_key: r for r in f.fetch(reqs).collect()}
+    assert all(r.revalidation == "miss" for r in r1.values())
+    assert all(r1[f"k-{i}"].response == f"v1-k-{i}" for i in range(30))
+    s = f.stats[-1]
+    assert (s.misses, s.revalidated, s.changed) == (30, 0, 0)
+
+    r2 = {r.cache_key: r for r in f.fetch(reqs).collect()}
+    assert all(r.revalidation == "revalidated" for r in r2.values())
+    assert all(r2[f"k-{i}"].response == f"v1-k-{i}" for i in range(30))
+    assert f.stats[-1].revalidated == 30 and f.stats[-1].revalidation_rate == 1.0
+
+    version["now"] = 2
+    r3 = {r.cache_key: r for r in f.fetch(reqs).collect()}
+    for i in range(30):
+        row = r3[f"k-{i}"]
+        if i % 3 == 0:
+            assert row.revalidation == "changed"
+            assert row.response == f"v2-k-{i}"
+        else:
+            assert row.revalidation == "revalidated"
+            assert row.response == f"v1-k-{i}"
+    s3 = f.stats[-1]
+    assert (s3.misses, s3.revalidated, s3.changed) == (0, 20, 10)
+
+    # wave 4: the replaced entries now revalidate against v2
+    r4 = {r.cache_key: r for r in f.fetch(reqs).collect()}
+    assert all(r.revalidation == "revalidated" for r in r4.values())
+    assert r4["k-3"].response == "v2-k-3"
+    # compaction ran (compact_every=2, 4 waves) and kept the cache exact
+    assert f._compact_id >= 1
+    cached = {r.cache_key: r.response for r in f.cache.collect()}
+    assert len(cached) == 30 and cached["k-0"] == "v2-k-0"
+
+
+def test_revalidating_fetcher_partial_and_new_keys(spark):
+    """A later wave with a disjoint+overlapping key set: old untouched
+    entries survive the upsert; new keys miss."""
+    from blockchainspider_spark.engine.fetch_cache import RevalidatingFetcher
+
+    f = RevalidatingFetcher(spark, _versioned_server(lambda k: 1))
+    w1 = spark.createDataFrame([(f"k-{i}",) for i in range(6)], "cache_key string")
+    f.fetch(w1).count()
+    w2 = spark.createDataFrame([(f"k-{i}",) for i in range(4, 9)], "cache_key string")
+    got = {r.cache_key: r.revalidation for r in f.fetch(w2).collect()}
+    assert got == {f"k-{i}": ("revalidated" if i < 6 else "miss")
+                   for i in range(4, 9)}
+    assert f.cache.count() == 9  # 6 old ∪ 3 new, upsert kept untouched rows
