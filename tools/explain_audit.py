@@ -290,6 +290,58 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
                     "keyed by the dedup hash, watermark-bounded state)", plan,
                     ["StreamingDeduplicateWithinWatermark", "EventTimeWatermark"],
                     ok))
+
+    # round-6 continuation — robots first-match gate: the (tiny) ordered
+    # rule dim broadcasts into the URL stream; the first-match lookup is
+    # a JVM-side filter+element_at over the sorted struct array, so the
+    # URL side crosses NO exchange (robotparser-ordered semantics at
+    # zero shuffle cost on the big side)
+    from blockchainspider_spark.functions.robots import apply_robots_gate, parse_robots
+
+    rb_docs = spark.createDataFrame(
+        [(f"h{i}", "User-agent: *\nAllow: /a\nDisallow: /\n") for i in range(3)],
+        "host string, robots_txt string",
+    )
+    urls = spark.range(2000).selectExpr(
+        "concat('http://h', id % 3, '/a/', id) AS url")
+    gated = apply_robots_gate(urls, parse_robots(rb_docs))
+    plan = plan_of(gated)
+    url_side = plan.split("BroadcastHashJoin")[0]
+    ok = ("BroadcastHashJoin" in plan and "element_at" in plan
+          and "Exchange" not in url_side)
+    results.append(("robots first-match gate (broadcast ordered-rule dim, "
+                    "JVM element_at lookup, URL side unshuffled)", plan,
+                    ["BroadcastHashJoin", "element_at"], ok))
+
+    # round-6 continuation — revalidation cache upsert: recrawls MUTATE
+    # entries, so the cache update is left-anti (drop touched keys) +
+    # union of the wave's entries, both keyed on cache_key; no Python
+    # eval in the upsert itself (the fetch kernel is the only Arrow hop)
+    import pandas as pd  # noqa: F401
+
+    from blockchainspider_spark.engine.fetch_cache import (
+        REVAL_FETCH_SCHEMA,
+        RevalidatingFetcher,
+    )
+
+    def _audit_fetch(reqs):
+        def kernel(batches):
+            for pdf in batches:
+                out = pdf[["cache_key"]].copy()
+                out["status"] = 200
+                out["etag"] = "e"
+                out["last_modified"] = 1
+                out["response"] = "b"
+                yield out
+        return reqs.mapInPandas(kernel, REVAL_FETCH_SCHEMA)
+
+    rf = RevalidatingFetcher(spark, _audit_fetch)
+    rf.fetch(spark.range(100).selectExpr("concat('k', id) AS cache_key")).count()
+    plan = plan_of(rf.cache)
+    ok = "LeftAnti" in plan and "Union" in plan
+    results.append(("revalidation cache upsert (anti-join touched keys + "
+                    "union wave entries on cache_key)", plan,
+                    ["LeftAnti", "Union"], ok))
     return results
 
 
