@@ -178,3 +178,19 @@ def test_gif_animation_roundtrip(anim, optimize):
     assert len(dec) == len(frames)
     for a, b in zip(frames, dec):
         assert np.array_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=rgb_images(),
+       comp=st.sampled_from(["none", "lzw", "packbits"]),
+       bo=st.sampled_from(["II", "MM"]),
+       rps=st.integers(1, 40))
+def test_tiff_roundtrip(img, comp, bo, rps):
+    """TIFF must return the exact pixels for ANY uint8 image, either
+    byte order, any strip height, all three compressions (LZW under
+    the horizontal predictor) — early-change and inline-value layout
+    stay pinned under random traffic."""
+    from blockchainspider_spark.functions.tiffcodec import tiff_decode, tiff_encode
+
+    data = tiff_encode(img, compression=comp, byte_order=bo, rows_per_strip=rps)
+    assert np.array_equal(tiff_decode(data), img)
