@@ -205,6 +205,8 @@ def sniff_format(data: bytes) -> str | None:
         return "gif"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if data[:4] == _QJPEG_MAGIC:
         return "jpeg"       # legacy r≤5 synthetic fixtures
     return None
@@ -236,6 +238,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         from blockchainspider_spark.functions.bmpcodec import bmp_decode
 
         return bmp_decode(data)
+    if fmt == "tiff":  # real TIFF 6.0 codec (round 6 continuation)
+        from blockchainspider_spark.functions.tiffcodec import tiff_decode
+
+        return tiff_decode(data)
     raise NotImplementedError(f"image format {fmt!r}: real decoder not in container")
 
 

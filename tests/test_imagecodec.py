@@ -256,11 +256,15 @@ def test_sniff_format_and_auto_dispatch():
     rng = np.random.default_rng(11)
     pal = rng.integers(0, 256, (12, 3), np.uint8)
     px = pal[rng.integers(0, 12, (16, 16))]
+    from blockchainspider_spark.functions.tiffcodec import tiff_encode
+
     cases = {
         "png": png_encode(px),
         "gif": gif_encode(px),
         "bmp": bmp_encode(px),
+        "tiff": tiff_encode(px, byte_order="II"),
     }
+    assert sniff_format(tiff_encode(px, byte_order="MM")) == "tiff"
     for fmt, data in cases.items():
         assert sniff_format(data) == fmt
         assert np.array_equal(decode(data, "auto"), px)
