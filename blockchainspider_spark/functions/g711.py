@@ -127,7 +127,12 @@ def parse_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         return sr, nch, ulaw_decode(payload)
     if fmt_tag == WAVE_FORMAT_ALAW:
         return sr, nch, alaw_decode(payload)
+    if fmt_tag == 0x0011:  # IMA ADPCM (round 6 continuation)
+        from blockchainspider_spark.functions.adpcm import wav_adpcm_decode
+
+        samples, rate = wav_adpcm_decode(data)
+        return rate, samples.shape[1], samples.reshape(-1)
     raise NotImplementedError(
-        f"WAV format tag {fmt_tag}: only PCM16 (1), A-law (6), μ-law (7) "
-        "decode in this container"
+        f"WAV format tag {fmt_tag}: only PCM16 (1), A-law (6), μ-law (7), "
+        "IMA ADPCM (17) decode in this container"
     )
