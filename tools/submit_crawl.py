@@ -54,6 +54,11 @@ def main():
                          "reproduces the sequential order for Haircut/TTR)")
     ap.add_argument("--epsilon", type=float, default=None,
                     help="residual threshold for wave-batched TTR/APPR")
+    ap.add_argument("--recrawl", type=int, default=0, metavar="N",
+                    help="after a BFS crawl, run N conditional-revalidation "
+                         "waves over the crawled URL set (RevalidatingFetcher: "
+                         "ETag/If-None-Match, 304 serves cache, 200 upserts); "
+                         "demo origin changes ~1/3 of bodies from wave 2 on")
     ap.add_argument("--demo", action="store_true")
     args = ap.parse_args()
     if not args.demo and (not args.edges or not args.source):
@@ -108,6 +113,57 @@ def main():
         summary = {"pops": state.next_seq, "lineage": state.lineage}
         if args.repair_failed:
             summary["repair_waves"] = repair_waves
+        if args.recrawl:
+            import hashlib
+
+            import pandas as pd
+            from pyspark.sql import functions as F
+
+            from blockchainspider_spark.engine.fetch_cache import (
+                REVAL_FETCH_SCHEMA,
+                RevalidatingFetcher,
+            )
+
+            epoch = {"n": 0}
+
+            def origin(reqs):
+                ep = epoch["n"]
+
+                def kernel(batches):
+                    for pdf in batches:
+                        out = {"cache_key": [], "status": [], "etag": [],
+                               "last_modified": [], "response": []}
+                        for r in pdf.itertuples(index=False):
+                            key = r.cache_key
+                            h = int(hashlib.md5(key.encode()).hexdigest()[:4], 16)
+                            ver = 2 if ep >= 1 and h % 3 == 0 else 1
+                            body = f"{key}#{ver}"
+                            etag = hashlib.md5(body.encode()).hexdigest()[:8]
+                            out["cache_key"].append(key)
+                            if r.if_none_match == etag:
+                                out["status"].append(304)
+                                out["etag"].append(None)
+                                out["last_modified"].append(None)
+                                out["response"].append(None)
+                            else:
+                                out["status"].append(200)
+                                out["etag"].append(etag)
+                                out["last_modified"].append(ver)
+                                out["response"].append(body)
+                        yield pd.DataFrame(out)
+
+                return reqs.mapInPandas(kernel, REVAL_FETCH_SCHEMA)
+
+            fetcher = RevalidatingFetcher(spark, origin)
+            urls = state.pop_log_df.select(F.col("node").alias("cache_key"))
+            summary["recrawl"] = []
+            for _ in range(args.recrawl):
+                fetcher.fetch(urls)   # stats collected inside fetch()
+                s = fetcher.stats[-1]
+                summary["recrawl"].append(
+                    {"miss": s.misses, "revalidated": s.revalidated,
+                     "changed": s.changed})
+                epoch["n"] += 1
         print(json.dumps(summary, default=str))
         if args.out:
             if emitted is not None:
