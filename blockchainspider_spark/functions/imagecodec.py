@@ -207,6 +207,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     if data[:4] == _QJPEG_MAGIC:
         return "jpeg"       # legacy r≤5 synthetic fixtures
     return None
@@ -242,6 +244,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         from blockchainspider_spark.functions.tiffcodec import tiff_decode
 
         return tiff_decode(data)
+    if fmt == "webp":  # real VP8L lossless codec (round 6 continuation)
+        from blockchainspider_spark.functions.webpcodec import webp_decode
+
+        return webp_decode(data)
     raise NotImplementedError(f"image format {fmt!r}: real decoder not in container")
 
 

@@ -265,6 +265,11 @@ def test_sniff_format_and_auto_dispatch():
         "tiff": tiff_encode(px, byte_order="II"),
     }
     assert sniff_format(tiff_encode(px, byte_order="MM")) == "tiff"
+    from blockchainspider_spark.functions.webpcodec import webp_encode
+
+    wp = webp_encode(px)
+    assert sniff_format(wp) == "webp"
+    assert np.array_equal(decode(wp, "auto"), px)
     for fmt, data in cases.items():
         assert sniff_format(data) == fmt
         assert np.array_equal(decode(data, "auto"), px)

@@ -194,3 +194,18 @@ def test_tiff_roundtrip(img, comp, bo, rps):
 
     data = tiff_encode(img, compression=comp, byte_order=bo, rows_per_strip=rps)
     assert np.array_equal(tiff_decode(data), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=rgb_images(), lz=st.booleans(),
+       cb=st.sampled_from([0, 3, 8, 11]), sg=st.booleans())
+def test_webp_vp8l_roundtrip(img, lz, cb, sg):
+    """VP8L lossless must return the exact pixels for ANY uint8 image
+    across the encoder's feature axes (LZ77 backrefs, color-cache
+    sizes, subtract-green) — Huffman completeness, prefix-coded
+    lengths/distances, and the cache hash stay pinned under random
+    traffic."""
+    from blockchainspider_spark.functions.webpcodec import webp_decode, webp_encode
+
+    data = webp_encode(img, use_lz77=lz, cache_bits=cb, subtract_green=sg)
+    assert np.array_equal(webp_decode(data), img)
