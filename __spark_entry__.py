@@ -42,7 +42,7 @@ _WINDOW_DEMOTE = [
     "f10_html_strip", "s12_trace_flatten", "s19_scamdb_feed",
     "s16_link_extract", "p3_symbol_identity", "o6_priority_queue",
     "k8b_motif_triangles", "k1_csv_header", "a14_cache_hitrate",
-    "u5_bloom_two_phase", "t4_retry_waves",
+    "u5_bloom_two_phase", "t4_retry_waves", "etl_nft_metadata",
 ]
 
 
@@ -133,8 +133,13 @@ def _collect_suites(idx: int) -> dict:
     mm_image_tiff (position 15: REAL TIFF 6.0 through the payload
     dispatch — both byte orders, none/lzw/packbits + Predictor 2,
     varying strip heights, closed-form full oracle; slot freed by
-    demoting the driver-green-r5, unchanged t4_retry_waves).
-    Gate is now 110 rows / 107 oracles; the crawl suite sits
+    demoting the driver-green-r5, unchanged t4_retry_waves), and
+    mm_image_webp (position 15: REAL VP8L lossless WebP through the
+    payload dispatch via fmt='auto' magic sniffing — LZ77/color-cache/
+    subtract-green axes cycled across docs, closed-form full oracle;
+    slot freed by demoting the driver-green-r5, unchanged
+    etl_nft_metadata).
+    Gate is now 111 rows / 108 oracles; the crawl suite sits
     at 29-37 and the new dedup rows fill 38-50 — every in-window
     dedup slot is a round-6 row; d1-d6 (driver-green r5) sit just
     past the cut. s5_utxo_explode, f2_url_canonicalize,

@@ -1346,6 +1346,63 @@ def q_mm_image_tiff_sql():
     """
 
 
+def q_mm_image_webp(spark, sf_dir):
+    """Real-WebP (VP8L lossless) payload gate (round 6 continuation —
+    functions/webpcodec.py): per doc a two-color 16×15 checkerboard →
+    webp_encode cycling the encoder's feature axes across docs (LZ77
+    by doc_id%2, color-cache bits 0/4/8 by doc_id%3, subtract-green by
+    doc_id%4<2) → the public payload dispatch + image_features via
+    fmt='auto' (magic sniffing in-gate). VP8L is lossless, so channel
+    means and the two-level gray std are closed-form for DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.webpcodec import webp_encode
+    from blockchainspider_spark.operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pal = np.array(
+                    [[3 * did, 2 * did, did],
+                     [3 * did + 60, 2 * did + 50, did + 30]],
+                    np.uint8,
+                )
+                img = pal[np.indices((16, 15)).sum(axis=0) % 2]
+                out["image_id"].append(f"doc-{did}")
+                out["bytes"].append(webp_encode(
+                    img, use_lz77=bool(did % 2),
+                    cache_bits=(0, 4, 8)[did % 3],
+                    subtract_green=did % 4 < 2))
+                out["fmt"].append("auto")
+            yield pd.DataFrame(out)
+
+    images = d.mapInPandas(build, "image_id string, bytes binary, fmt string")
+    return image_features(images).select(
+        "image_id", "w", "h",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_gray", 4).alias("std_gray"),
+    )
+
+
+def q_mm_image_webp_sql():
+    return """
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(15 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+           round(CAST(3 * doc_id + 30.0 AS DOUBLE), 4) AS mean_r,
+           round(CAST(2 * doc_id + 25.0 AS DOUBLE), 4) AS mean_g,
+           round(CAST(doc_id + 15.0 AS DOUBLE), 4) AS mean_b,
+           round(CAST((0.299 * 60 + 0.587 * 50 + 0.114 * 30) / 2 AS DOUBLE), 4) AS std_gray
+    FROM documents WHERE doc_id < 60
+    """
+
+
 def q_f4b_uint256_sum(spark, sf_dir):
     """F4b: exact >2^63 wei sums (SURVEY §7 hard point 3). Every planted
     value has the top bit of a 64-bit word set (2^63 + event_id·10^9 —
