@@ -209,6 +209,8 @@ def sniff_format(data: bytes) -> str | None:
         return "tiff"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 22:
+        return "ico"
     if data[:4] == _QJPEG_MAGIC:
         return "jpeg"       # legacy r≤5 synthetic fixtures
     return None
@@ -248,6 +250,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         from blockchainspider_spark.functions.webpcodec import webp_decode
 
         return webp_decode(data)
+    if fmt == "ico":  # favicon container (round 6 continuation)
+        from blockchainspider_spark.functions.icocodec import ico_decode
+
+        return ico_decode(data)
     raise NotImplementedError(f"image format {fmt!r}: real decoder not in container")
 
 
