@@ -1403,6 +1403,61 @@ def q_mm_image_webp_sql():
     """
 
 
+def q_mm_image_ico(spark, sf_dir):
+    """ICO/favicon payload gate (round 6 continuation —
+    functions/icocodec.py): per doc a two-entry icon (an 8×8 thumb plus
+    the 16×15 checkerboard) with the entry format cycling png/dib by
+    doc_id%2 → the public payload dispatch via fmt='auto' must sniff
+    the 00 00 01 00 magic AND pick the LARGEST entry, so the emitted
+    stats match the checkerboard's closed form, not the thumb's."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.icocodec import ico_encode
+    from blockchainspider_spark.operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pal = np.array(
+                    [[3 * did, 2 * did, did],
+                     [3 * did + 60, 2 * did + 50, did + 30]],
+                    np.uint8,
+                )
+                img = pal[np.indices((16, 15)).sum(axis=0) % 2]
+                thumb = np.full((8, 8, 3), did % 256, np.uint8)
+                out["image_id"].append(f"doc-{did}")
+                out["bytes"].append(ico_encode(
+                    [thumb, img], entry_format="dib" if did % 2 else "png"))
+                out["fmt"].append("auto")
+            yield pd.DataFrame(out)
+
+    images = d.mapInPandas(build, "image_id string, bytes binary, fmt string")
+    return image_features(images).select(
+        "image_id", "w", "h",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_gray", 4).alias("std_gray"),
+    )
+
+
+def q_mm_image_ico_sql():
+    return """
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(15 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+           round(CAST(3 * doc_id + 30.0 AS DOUBLE), 4) AS mean_r,
+           round(CAST(2 * doc_id + 25.0 AS DOUBLE), 4) AS mean_g,
+           round(CAST(doc_id + 15.0 AS DOUBLE), 4) AS mean_b,
+           round(CAST((0.299 * 60 + 0.587 * 50 + 0.114 * 30) / 2 AS DOUBLE), 4) AS std_gray
+    FROM documents WHERE doc_id < 60
+    """
+
+
 def q_f4b_uint256_sum(spark, sf_dir):
     """F4b: exact >2^63 wei sums (SURVEY §7 hard point 3). Every planted
     value has the top bit of a 64-bit word set (2^63 + event_id·10^9 —
