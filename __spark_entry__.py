@@ -43,7 +43,7 @@ _WINDOW_DEMOTE = [
     "s16_link_extract", "p3_symbol_identity", "o6_priority_queue",
     "k8b_motif_triangles", "k1_csv_header", "a14_cache_hitrate",
     "u5_bloom_two_phase", "t4_retry_waves", "etl_nft_metadata",
-    "strat_ttrbase_push",
+    "strat_ttrbase_push", "strat_ttrweight_push",
 ]
 
 
@@ -143,8 +143,13 @@ def _collect_suites(idx: int) -> dict:
     container — two entries per icon, png/dib cycling, the dispatch
     must sniff the magic AND pick the largest entry for the stats to
     match; closed-form full oracle; slot freed by demoting the
-    driver-green-r5, unchanged strat_ttrbase_push).
-    Gate is now 112 rows / 109 oracles; the crawl suite sits
+    driver-green-r5, unchanged strat_ttrbase_push), and
+    mm_audio_adpcm (position 22: IMA-ADPCM WAV through decode_audio —
+    container fields + fact-chunk duration fully oracled, lossy/RMS
+    proximity self-checked, the nibble kernel audioop-pinned in tests;
+    slot freed by demoting the driver-green-r5, unchanged
+    strat_ttrweight_push).
+    Gate is now 113 rows / 110 oracles; the crawl suite sits
     at 29-37 and the new dedup rows fill 38-50 — every in-window
     dedup slot is a round-6 row; d1-d6 (driver-green r5) sit just
     past the cut. s5_utxo_explode, f2_url_canonicalize,

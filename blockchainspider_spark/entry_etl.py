@@ -1840,6 +1840,75 @@ def q_mm_audio_g711_sql():
     """
 
 
+def q_mm_audio_adpcm(spark, sf_dir):
+    """IMA-ADPCM payload gate (round 6 continuation —
+    functions/adpcm.py, WAV tag 0x0011): per doc a linear int16 ramp →
+    wav_adpcm_encode (505-sample blocks, so every doc exercises the
+    fact-chunk trim of the padded trailing block) → the SAME
+    decode_audio operator production uses. The nibble kernel is pinned
+    bit-exactly against the stdlib audioop DVI oracle in
+    tests/test_adpcm.py; here the oracle states what IS closed-form —
+    container fields and duration — while lossy-but-close booleans
+    (decoded RMS within 0.003 of the analytic ramp RMS, genuinely
+    lossy) are SELF-CHECKED: the callable raises if any row violates
+    them."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.adpcm import wav_adpcm_encode
+    from blockchainspider_spark.functions.g711 import parse_wav
+    from blockchainspider_spark.operators.multimodal import decode_audio
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 10).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"audio_id": [], "bytes": [], "fmt": [],
+                   "rms_close": [], "lossy": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 700 + did           # not a block multiple → fact trim
+                i = np.arange(n)
+                sig = (-9000 + 15 * i + did).astype(np.int16)
+                wav = wav_adpcm_encode(sig, rate=8000)
+                _sr, _nch, dec = parse_wav(wav)
+                rms_dec = float(np.sqrt(np.mean((dec / 32768.0) ** 2)))
+                rms_orig = float(np.sqrt(np.mean((sig / 32768.0) ** 2)))
+                out["audio_id"].append(f"ad-{did}")
+                out["bytes"].append(wav)
+                out["fmt"].append("wav")
+                out["rms_close"].append(bool(abs(rms_dec - rms_orig) < 0.003))
+                out["lossy"].append(bool(not np.array_equal(dec, sig)))
+            yield pd.DataFrame(out)
+
+    audio = d.mapInPandas(
+        build, "audio_id string, bytes binary, fmt string, "
+               "rms_close boolean, lossy boolean")
+    feats = decode_audio(audio.select("audio_id", "bytes", "fmt"))
+    res = (
+        feats.join(audio.select("audio_id", "rms_close", "lossy"), on="audio_id")
+        .select("audio_id", "sample_rate", "n_channels", "n_samples",
+                "rms_close", "lossy")
+    )
+    bad = res.where(~F.col("rms_close") | ~F.col("lossy")).count()
+    if bad:
+        raise AssertionError(
+            f"mm_audio_adpcm: {bad} rows violate the ADPCM lossy/RMS contract"
+        )
+    return res
+
+
+def q_mm_audio_adpcm_sql():
+    return """
+    SELECT 'ad-' || CAST(doc_id AS VARCHAR) AS audio_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(700 + doc_id AS BIGINT) AS n_samples,
+           TRUE AS rms_close, TRUE AS lossy
+    FROM documents WHERE doc_id < 10
+    """
+
+
 def q_x4_dcfg_tracer_roundtrip(spark, sf_dir):
     """X4 round trip: the embedded-JS DCFG tracer as a fetch-request
     PARAMETER (request construction: gas>21000 filter → JSON-RPC POST
