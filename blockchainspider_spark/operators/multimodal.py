@@ -59,6 +59,40 @@ def area_resize(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def bilinear_resize(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resample (uint8 HxWx3), half-pixel sample centers with
+    edge clamp — the align_corners=False convention every training
+    stack (PIL, torchvision, TF) uses, so thumbnails here match what a
+    downstream trainer would produce.
+
+    Determinism/oracle contract: the interpolation is evaluated in
+    float64 in EXACTLY this association order —
+    ``(1-fy)*((1-fx)*p00 + fx*p01) + fy*((1-fx)*p10 + fx*p11)`` with
+    ``f = s - floor(s)`` — and quantized as ``floor(v + 0.5)``. IEEE-754
+    doubles make that bit-reproducible, so DuckDB can replay the same
+    expression closed-form (gate row mm_image_resize)."""
+    h, w, _ = pixels.shape
+    sx = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+    sy = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - np.floor(sx))[None, :, None]
+    fy = (sy - np.floor(sy))[:, None, None]
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    p = pixels.astype(np.float64)
+    p00 = p[np.ix_(y0, x0)]
+    p01 = p[np.ix_(y0, x1)]
+    p10 = p[np.ix_(y1, x0)]
+    p11 = p[np.ix_(y1, x1)]
+    v = (1.0 - fy) * ((1.0 - fx) * p00 + fx * p01) \
+        + fy * ((1.0 - fx) * p10 + fx * p11)
+    return np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
+
+
+_RESIZE_FILTERS = {"area": area_resize, "bilinear": bilinear_resize}
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """Decode + per-image feature vector (means, std, phash)."""
 
@@ -107,16 +141,24 @@ def pixel_fingerprint(images: DataFrame) -> DataFrame:
     )
 
 
-def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Decode → area resize → re-encode (png) — thumbnail stage."""
+def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8,
+                  method: str = "area") -> DataFrame:
+    """Decode → resample (``area`` | ``bilinear``) → re-encode (png) —
+    thumbnail stage. Area is the antialiased downscale default;
+    bilinear is the trainer-convention resample (half-pixel centers)."""
     from blockchainspider_spark.functions.imagecodec import png_encode
+
+    if method not in _RESIZE_FILTERS:
+        raise ValueError(f"unknown resize method {method!r} "
+                         f"(have: {sorted(_RESIZE_FILTERS)})")
+    resample = _RESIZE_FILTERS[method]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("image_id", "w", "h", "bytes")}
             for r in pdf.itertuples(index=False):
                 px = decode(bytes(r.bytes), r.fmt)
-                small = area_resize(px, out_w, out_h)
+                small = resample(px, out_w, out_h)
                 out["image_id"].append(r.image_id)
                 out["w"].append(out_w)
                 out["h"].append(out_h)
