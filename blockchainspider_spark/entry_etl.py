@@ -1008,6 +1008,173 @@ def q_mm_image_jpeg_sql():
     """
 
 
+def q_s26_warc_roundtrip(spark, sf_dir):
+    """WARC 1.1 archive round-trip gate (round-6 continuation —
+    functions/warc.py + sources/warc.py; the reference keeps fetched
+    pages only as transient Scrapy responses, spiders/labels/web.py —
+    an archival crawl persists them as WARC, the Common-Crawl format).
+    Per doc an HTTP response (text payload, 404 for doc_id%7==0) is
+    serialized as a WARC response record — in its OWN gzip member for
+    even doc_ids, plain for odd, putting the parser's per-record magic
+    sniff on the hot path — then parsed back through the production
+    parser with WARC-Payload-Digest verification ON (a corruption on
+    either leg raises, so a green row certifies writer ≡ reader ≡
+    digest). The emitted CDX-shaped columns are closed-form for DuckDB:
+    SURT key and HTTP block length are string arithmetic, the payload
+    hash is sha256 both engines share."""
+    import pandas as pd
+
+    from blockchainspider_spark.functions.warc import (
+        build_response_record, parse_warc, surt,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80) \
+        .select("doc_id", "text")
+
+    def kernel(batches):
+        cols = ["uri", "surt", "http_status", "payload", "block_len"]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                uri = f"http://w{did % 3}.ex.test/doc/{did}"
+                status, reason = (404, "Not Found") if did % 7 == 0 else (200, "OK")
+                rec = build_response_record(
+                    uri, status, reason, "text/plain", text.encode("utf-8"),
+                    gzip_member=did % 2 == 0)
+                (parsed,) = parse_warc(rec)  # digest verified in-parse
+                out["uri"].append(parsed["target_uri"])
+                out["surt"].append(surt(parsed["target_uri"]))
+                out["http_status"].append(parsed["http_status"])
+                out["payload"].append(parsed["payload"])
+                out["block_len"].append(len(parsed["block"]))
+            yield pd.DataFrame(out, columns=cols)
+
+    rows = d.mapInPandas(
+        kernel,
+        "uri string, surt string, http_status int, payload binary, block_len long")
+    return rows.select(
+        "uri", "surt", "http_status",
+        F.octet_length("payload").cast("long").alias("payload_len"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+        "block_len",
+    )
+
+
+def q_s26_warc_roundtrip_sql():
+    # block = status line (15 or 22 bytes) + CRLF + 'Content-Type:
+    # text/plain' (24) + CRLF + 'Content-Length: ' (16) + digits + CRLF
+    # + CRLF + payload → statuslen + 48 + digits + payload bytes;
+    # DuckDB strlen() is bytes (Spark octet_length), sha256() hashes the
+    # VARCHAR's utf-8 bytes (Spark sha2 over the utf-8 payload).
+    return """
+    SELECT 'http://w' || CAST(doc_id % 3 AS VARCHAR) || '.ex.test/doc/'
+               || CAST(doc_id AS VARCHAR) AS uri,
+           'test,ex,w' || CAST(doc_id % 3 AS VARCHAR) || ')/doc/'
+               || CAST(doc_id AS VARCHAR) AS surt,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT)
+               AS http_status,
+           CAST(strlen(text) AS BIGINT) AS payload_len,
+           sha256(text) AS payload_sha256,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 22 ELSE 15 END
+                + 48 + length(CAST(strlen(text) AS VARCHAR))
+                + strlen(text) AS BIGINT) AS block_len
+    FROM documents WHERE doc_id < 80
+    """
+
+
+def q_mm_image_resize(spark, sf_dir):
+    """Bilinear-resize gate (round-6 continuation —
+    operators/multimodal.py bilinear_resize + the png payload path):
+    per doc a 15×16 linear ramp image (channel c = base_c + a_c·x +
+    b_c·y, all-integer so the source is quantization-lossless) is
+    png-encoded, decoded through the production dispatch, and resampled
+    to 4×6 with half-pixel-center bilinear (the trainer convention).
+    EVERY output pixel of every image is emitted and checked: the
+    kernel's documented float64 association order + floor(v+0.5)
+    quantization is replayed closed-form by DuckDB over a generated
+    (xo, yo) grid, so a one-ulp drift in the interpolation breaks the
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    from blockchainspider_spark.functions.imagecodec import decode, png_encode
+    from blockchainspider_spark.operators.multimodal import bilinear_resize
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+    out_w, out_h = 4, 6
+
+    def kernel(batches):
+        cols = ["image_id", "xo", "yo", "r", "g", "b"]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y, x = np.indices((16, 15))
+                img = np.stack([
+                    did % 100 + 4 * x + 3 * y,
+                    (did * 7) % 100 + 2 * x + 5 * y,
+                    (did * 13) % 120 + 3 * x + 2 * y,
+                ], axis=-1).astype(np.uint8)
+                small = bilinear_resize(decode(png_encode(img), "png"),
+                                        out_w, out_h)
+                for yo in range(out_h):
+                    for xo in range(out_w):
+                        out["image_id"].append(f"doc-{did}")
+                        out["xo"].append(xo)
+                        out["yo"].append(yo)
+                        out["r"].append(int(small[yo, xo, 0]))
+                        out["g"].append(int(small[yo, xo, 1]))
+                        out["b"].append(int(small[yo, xo, 2]))
+            yield pd.DataFrame(out, columns=cols)
+
+    return d.mapInPandas(
+        kernel, "image_id string, xo int, yo int, r int, g int, b int")
+
+
+def q_mm_image_resize_sql():
+    # replays bilinear_resize's exact float64 expression tree: sample
+    # centers sx=(xo+.5)*(15/4)-.5, sy=(yo+.5)*(16/6)-.5 (clamp is a
+    # no-op on the interior grid), f=s-floor(s), then
+    # (1-fy)*((1-fx)*p00+fx*p01)+fy*((1-fx)*p10+fx*p11) with the ramp's
+    # integer pixels, quantized floor(v+0.5) — IEEE-754 doubles make
+    # both engines bit-agree.
+    return """
+    WITH g AS (
+      SELECT doc_id, xo, yo,
+             CAST(floor((xo + 0.5) * (15.0/4.0) - 0.5) AS BIGINT) AS x0,
+             ((xo + 0.5) * (15.0/4.0) - 0.5)
+               - floor((xo + 0.5) * (15.0/4.0) - 0.5) AS fx,
+             CAST(floor((yo + 0.5) * (16.0/6.0) - 0.5) AS BIGINT) AS y0,
+             ((yo + 0.5) * (16.0/6.0) - 0.5)
+               - floor((yo + 0.5) * (16.0/6.0) - 0.5) AS fy
+      FROM documents, range(4) tx(xo), range(6) ty(yo)
+      WHERE doc_id < 60
+    )
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(xo AS INT) AS xo, CAST(yo AS INT) AS yo,
+           CAST(floor(
+             (1-fy)*((1-fx)*(doc_id % 100 + 4*x0     + 3*y0)
+                     +  fx *(doc_id % 100 + 4*(x0+1) + 3*y0))
+             + fy *((1-fx)*(doc_id % 100 + 4*x0     + 3*(y0+1))
+                     +  fx *(doc_id % 100 + 4*(x0+1) + 3*(y0+1))) + 0.5
+           ) AS INT) AS r,
+           CAST(floor(
+             (1-fy)*((1-fx)*((doc_id*7) % 100 + 2*x0     + 5*y0)
+                     +  fx *((doc_id*7) % 100 + 2*(x0+1) + 5*y0))
+             + fy *((1-fx)*((doc_id*7) % 100 + 2*x0     + 5*(y0+1))
+                     +  fx *((doc_id*7) % 100 + 2*(x0+1) + 5*(y0+1))) + 0.5
+           ) AS INT) AS g,
+           CAST(floor(
+             (1-fy)*((1-fx)*((doc_id*13) % 120 + 3*x0     + 2*y0)
+                     +  fx *((doc_id*13) % 120 + 3*(x0+1) + 2*y0))
+             + fy *((1-fx)*((doc_id*13) % 120 + 3*x0     + 2*(y0+1))
+                     +  fx *((doc_id*13) % 120 + 3*(x0+1) + 2*(y0+1))) + 0.5
+           ) AS INT) AS b
+    FROM g
+    """
+
+
 def q_mm_image_jpeg_prog(spark, sf_dir):
     """Progressive-JPEG payload gate (round 6 continuation): most large
     web JPEGs are SOF2, so the crawl payload contract must hold on
