@@ -1175,6 +1175,144 @@ def q_mm_image_resize_sql():
     """
 
 
+_DEEP_PATH = "/" + "/".join(f"d{i}" for i in range(25))
+
+
+def q_t16_url_traps(spark, sf_dir):
+    """Crawler-trap scoring gate (round-6 continuation —
+    functions/urltraps.py, Heritrix PathologicalPath /
+    TooManyPathSegments decide rules + session-id stripping,
+    re-expressed as JVM column algebra: higher-order aggregate fold for
+    the consecutive-run scan, zero Python in the plan — pinned by
+    tests/test_urltraps_charset.py). The fixture mints three trap
+    shapes from doc_id arithmetic (25-segment deep path, calendar path
+    with 4 numeric segments, k-fold repeated segment) plus optional
+    phpsessid query tokens; the Spark side PARSES the built URL string,
+    the oracle derives every expected feature CLOSED-FORM from the same
+    arithmetic — a parsing bug on the Spark side can't cancel out."""
+    from blockchainspider_spark.functions.urltraps import url_trap_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 90).select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    rep = F.expr(
+        "repeat(concat('/s', CAST(doc_id % 7 AS STRING)), "
+        "CAST(1 + doc_id % 4 AS INT))")
+    path = (
+        F.when(i % 11 == 0, F.lit(_DEEP_PATH))
+         .when(i % 13 == 0, F.concat(F.lit("/cal/2026/08/"),
+                                     (i % 18 + 10).cast("string"),
+                                     F.lit("/1999")))
+         .otherwise(F.concat(F.lit("/p"), s, rep)))
+    query = (
+        F.when(i % 3 == 0, F.concat(F.lit("?phpsessid="),
+                                    F.substring(F.md5(s), 1, 8),
+                                    F.lit("&q="), s))
+         .when(i % 3 == 2, F.concat(F.lit("?q="), s))
+         .otherwise(F.lit("")))
+    urls = d.select(F.concat(F.lit("http://h"), (i % 5).cast("string"),
+                             F.lit(".ex.test"), path, query).alias("url"))
+    return url_trap_features(urls).select(
+        "url", "n_segments", "max_seg_run", "n_numeric_segs",
+        "has_session_id", "clean_url", "is_trap")
+
+
+def q_t16_url_traps_sql():
+    base = ("'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.ex.test' || "
+            "CASE WHEN doc_id % 11 = 0 THEN '" + _DEEP_PATH + "' "
+            "WHEN doc_id % 13 = 0 THEN '/cal/2026/08/' || "
+            "CAST(doc_id % 18 + 10 AS VARCHAR) || '/1999' "
+            "ELSE '/p' || CAST(doc_id AS VARCHAR) || "
+            "repeat('/s' || CAST(doc_id % 7 AS VARCHAR), "
+            "CAST(1 + doc_id % 4 AS INT)) END")
+    # expected features derive from the SAME doc_id arithmetic the URL
+    # was minted from — never from parsing the string
+    return f"""
+    SELECT {base} || CASE WHEN doc_id % 3 = 0
+                          THEN '?phpsessid=' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                               || '&q=' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 3 = 2 THEN '?q=' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS url,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 25
+                     WHEN doc_id % 13 = 0 THEN 5
+                     ELSE 2 + doc_id % 4 END AS INT) AS n_segments,
+           CAST(CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN 1
+                     ELSE 1 + doc_id % 4 END AS INT) AS max_seg_run,
+           CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 = 0 THEN 4
+                     ELSE 0 END AS INT) AS n_numeric_segs,
+           doc_id % 3 = 0 AS has_session_id,
+           {base} || CASE WHEN doc_id % 3 IN (0, 2)
+                          THEN '?q=' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS clean_url,
+           (doc_id % 11 = 0) OR (doc_id % 11 <> 0 AND doc_id % 13 = 0)
+             OR (doc_id % 11 <> 0 AND doc_id % 13 <> 0 AND doc_id % 4 >= 2)
+             AS is_trap
+    FROM documents WHERE doc_id < 90
+    """
+
+
+def q_t17_charset_sniff(spark, sf_dir):
+    """Charset sniff/decode gate (round-6 continuation —
+    functions/charset.py, the WHATWG-order detector: BOM > meta
+    declaration > ascii/utf-8 heuristic > cp1252 browser fallback).
+    Four encodings cycle by doc_id%4 — UTF-8 BOM, meta-declared
+    ISO-8859-1 with a latin-1 café byte, plain UTF-8 with multibyte
+    chars, undeclared cp1252 — each built from the doc text; the
+    production decoder must name the encoding AND the source rung AND
+    reproduce the exact decoded string (sha256-matched, both engines
+    hash utf-8 bytes)."""
+    import codecs
+
+    import pandas as pd
+
+    from blockchainspider_spark.functions.charset import decode_page
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60) \
+        .select("doc_id", "text")
+
+    def kernel(batches):
+        cols = ["doc_id", "enc", "src", "decoded"]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = {
+                    0: codecs.BOM_UTF8 + text.encode("utf-8"),
+                    1: b'<meta charset="ISO-8859-1">'
+                       + (text + " caf\xe9").encode("latin-1"),
+                    2: (text + " d\xe9j\xe0").encode("utf-8"),
+                    3: (text + " caf\xe9").encode("cp1252"),
+                }[did % 4]
+                decoded, enc, src = decode_page(raw)
+                out["doc_id"].append(did)
+                out["enc"].append(enc)
+                out["src"].append(src)
+                out["decoded"].append(decoded)
+            yield pd.DataFrame(out, columns=cols)
+
+    rows = d.mapInPandas(
+        kernel, "doc_id long, enc string, src string, decoded string")
+    return rows.select(
+        "doc_id", "enc", "src",
+        F.sha2(F.col("decoded"), 256).alias("decoded_sha"))
+
+
+def q_t17_charset_sniff_sql():
+    return """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'utf-8-sig' WHEN 1 THEN 'iso8859-1'
+                WHEN 2 THEN 'utf-8' ELSE 'cp1252' END AS enc,
+           CASE doc_id % 4 WHEN 0 THEN 'bom' WHEN 1 THEN 'meta'
+                WHEN 2 THEN 'utf8' ELSE 'fallback' END AS src,
+           sha256(CASE doc_id % 4
+                  WHEN 0 THEN text
+                  WHEN 1 THEN '<meta charset="ISO-8859-1">' || text || ' café'
+                  WHEN 2 THEN text || ' déjà'
+                  ELSE text || ' café' END) AS decoded_sha
+    FROM documents WHERE doc_id < 60
+    """
+
+
 def q_mm_image_jpeg_prog(spark, sf_dir):
     """Progressive-JPEG payload gate (round 6 continuation): most large
     web JPEGs are SOF2, so the crawl payload contract must hold on
