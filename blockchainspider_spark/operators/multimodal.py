@@ -11,7 +11,10 @@ What's real vs stubbed in this container (no PIL/ffmpeg):
                         (functions/gifcodec.py) and real BI_RGB 'bmp'
                         (functions/bmpcodec.py); other formats raise
                         NotImplementedError (clearly gated).
-* resize              — REAL: numpy area-average resampling.
+* resize              — REAL: numpy area-average + half-pixel-center
+                        bilinear (align_corners=False convention), the
+                        latter with a bit-reproducible float64 contract
+                        an external SQL engine can replay.
 * feature extraction  — REAL: channel means/stds + 64-bit phash.
 * video frame-sample  — REAL for BI_RGB and MJPEG AVI (and the
                         synthetic 'rawv' container); other codecs

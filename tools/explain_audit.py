@@ -342,6 +342,21 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str, list[str], bool]]:
     results.append(("revalidation cache upsert (anti-join touched keys + "
                     "union wave entries on cache_key)", plan,
                     ["LeftAnti", "Union"], ok))
+
+    # round-6 continuation — crawler-trap scoring: the whole feature set
+    # (segment split, higher-order aggregate run scan, regex session
+    # strip) must stay JVM column algebra — a Python eval stage here
+    # would put a per-URL interpreter hop on the frontier hot path
+    from blockchainspider_spark.functions.urltraps import url_trap_features
+
+    trap_urls = spark.range(5000).selectExpr(
+        "concat('http://h', id % 7, '.ex.test/p', id, '/s/s/s?sid=', id) AS url")
+    plan = plan_of(url_trap_features(trap_urls))
+    ok = ("ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+          and "aggregate(" in plan.lower())
+    results.append(("crawler-trap scoring (higher-order aggregate fold + "
+                    "regex strip, zero Python stages)", plan,
+                    ["no ArrowEvalPython/BatchEvalPython", "aggregate("], ok))
     return results
 
 

@@ -59,6 +59,12 @@ def main():
                          "waves over the crawled URL set (RevalidatingFetcher: "
                          "ETag/If-None-Match, 304 serves cache, 200 upserts); "
                          "demo origin changes ~1/3 of bodies from wave 2 on")
+    ap.add_argument("--warc-out", default=None, metavar="DIR",
+                    help="after a BFS crawl, archive the fetched pages as "
+                         "WARC 1.1 gzip-member shards under DIR/warc plus a "
+                         "SURT-sorted CDX index parquet under DIR/cdx "
+                         "(sources/warc.py); the summary reports the "
+                         "read-back record count")
     ap.add_argument("--demo", action="store_true")
     args = ap.parse_args()
     if not args.demo and (not args.edges or not args.source):
@@ -164,6 +170,30 @@ def main():
                     {"miss": s.misses, "revalidated": s.revalidated,
                      "changed": s.changed})
                 epoch["n"] += 1
+        if args.warc_out and fetched is not None:
+            from pyspark.sql import functions as F
+
+            from blockchainspider_spark.sources.warc import (
+                cdx_index, read_warc, write_warc,
+            )
+
+            pages = (
+                fetched.select("node").distinct()
+                .join(images.select("node", F.col("image_id").alias("url"),
+                                    "bytes", "fmt"), on="node")
+                .select("url", F.lit(200).alias("status"),
+                        F.concat(F.lit("image/"), F.col("fmt")).alias("content_type"),
+                        F.col("bytes").alias("payload")))
+            warc_dir = os.path.join(args.warc_out, "warc")
+            write_warc(pages, warc_dir)
+            # read back through the production parser (digest verify on)
+            records = read_warc(spark, warc_dir)
+            cdx_index(records).write.mode("overwrite").parquet(
+                os.path.join(args.warc_out, "cdx"))
+            summary["warc"] = {
+                "records": records.count(),
+                "shards": records.select("filename").distinct().count(),
+            }
         print(json.dumps(summary, default=str))
         if args.out:
             if emitted is not None:
