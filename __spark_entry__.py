@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_entry.py runs logged each round.
 _WINDOW_DEMOTE = [
     "etl_contract_dim_props", "strat_ttrtime_seed",
+    "etl_topic_dispatch_decode",
     "etl_block_receipt_chain", "p9_scheme_filter",
     "s5_utxo_explode", "f2_url_canonicalize",
     "f10_html_strip", "s12_trace_flatten", "s19_scamdb_feed",
@@ -151,26 +152,30 @@ def _collect_suites(idx: int) -> dict:
     proximity self-checked, the nibble kernel audioop-pinned in tests;
     slot freed by demoting the driver-green-r5, unchanged
     strat_ttrweight_push).
-    The third continuation session adds s26_warc_roundtrip (position 5:
+    The third continuation session adds s26_warc_roundtrip (position 4:
     WARC 1.1 archive round-trip — per-record gzip members sniffed at
     each boundary, WARC-Payload-Digest verified in-parse, CDX-shaped
     SURT/block-length/sha256 columns all closed-form for DuckDB —
     functions/warc.py + sources/warc.py; slot freed by demoting the
     driver-green-r5, unchanged etl_contract_dim_props) and
-    mm_image_resize (position 6: half-pixel-center bilinear resample
+    mm_image_resize (position 5: half-pixel-center bilinear resample
     through the png payload path — every output pixel of every image
     checked against DuckDB's replay of the kernel's exact float64
     expression tree over a generated grid; slot freed by demoting the
     driver-green-r5, unchanged strat_ttrtime_seed), plus
-    t16_url_traps (position 7: crawler-trap scoring — Heritrix decide rules as pure
+    t16_url_traps (position 6: crawler-trap scoring — Heritrix decide rules as pure
     JVM column algebra; URL parsed by Spark, every expected feature
     derived closed-form from the minting arithmetic by DuckDB; slot
     freed by demoting the driver-green-r5, unchanged p9_scheme_filter)
-    and t17_charset_sniff (position 8: WHATWG-order charset detection + total
+    and t17_charset_sniff (position 7: WHATWG-order charset detection + total
     decode — BOM/meta/utf8/cp1252 legs cycled by doc_id, decoded text
     sha256-matched; slot freed by demoting the driver-green-r5,
-    unchanged etl_block_receipt_chain).
-    Gate is now 117 rows / 114 oracles; the crawl suite sits
+    unchanged etl_block_receipt_chain), and t18_boilerplate (position
+    8: jusText-style block segmentation + link-density boilerplate
+    removal on the stdlib HTMLParser — exactly 4 blocks segmented, the
+    2 prose paragraphs kept verbatim, closed-form oracle; slot freed by
+    demoting the driver-green-r5, unchanged etl_topic_dispatch_decode).
+    Gate is now 118 rows / 115 oracles; the crawl suite sits
     at 29-37 and the new dedup rows fill 38-50 — every in-window
     dedup slot is a round-6 row; d1-d6 (driver-green r5) sit just
     past the cut. s5_utxo_explode, f2_url_canonicalize,

@@ -1313,6 +1313,45 @@ def q_t17_charset_sniff_sql():
     """
 
 
+def q_t18_boilerplate(spark, sf_dir):
+    """Boilerplate-removal gate (round-6 continuation —
+    functions/boilerplate.py, the jusText/boilerpipe line of attack:
+    block segmentation + link-density classification on the stdlib
+    HTMLParser). Each doc becomes a page with a nav div (link density
+    ~1), two prose paragraphs sliced from the doc text, and a footer
+    link div; the production extractor must segment exactly 4 blocks,
+    keep exactly the 2 paragraphs, and reproduce their text verbatim —
+    all closed-form for DuckDB (substr + trim + chr(10))."""
+    from blockchainspider_spark.functions.boilerplate import extract_content
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60) \
+        .select("doc_id", "text")
+    html = F.concat(
+        F.lit('<html><body><div><a href="/">home</a> <a href="/a">about '),
+        F.col("doc_id").cast("string"),
+        F.lit("</a></div><p>"), F.substring(F.col("text"), 1, 30),
+        F.lit("</p><p>"), F.substring(F.col("text"), 31, 20),
+        F.lit('</p><div><a href="/n">next</a> <a href="/p">prev</a>'
+              "</div></body></html>"))
+    docs = d.select(F.col("doc_id").cast("string").alias("id"),
+                    html.alias("html"))
+    return extract_content(docs, min_words=2)
+
+
+def q_t18_boilerplate_sql():
+    # the two kept paragraphs are the text slices, trimmed (the block
+    # segmenter collapses+strips whitespace; doc text is single-spaced
+    # ASCII, so trim is the whole normalization) and newline-joined
+    return """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           trim(substr(text, 1, 30)) || chr(10) || trim(substr(text, 31, 20))
+             AS main_text,
+           CAST(4 AS INT) AS n_blocks,
+           CAST(2 AS INT) AS n_content
+    FROM documents WHERE doc_id < 60
+    """
+
+
 def q_mm_image_jpeg_prog(spark, sf_dir):
     """Progressive-JPEG payload gate (round 6 continuation): most large
     web JPEGs are SOF2, so the crawl payload contract must hold on
