@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_entry.py runs logged each round.
 _WINDOW_DEMOTE = [
     "etl_contract_dim_props", "strat_ttrtime_seed",
-    "etl_topic_dispatch_decode",
+    "etl_topic_dispatch_decode", "f4b_uint256_sum",
     "etl_block_receipt_chain", "p9_scheme_filter",
     "s5_utxo_explode", "f2_url_canonicalize",
     "f10_html_strip", "s12_trace_flatten", "s19_scamdb_feed",
@@ -174,8 +174,13 @@ def _collect_suites(idx: int) -> dict:
     8: jusText-style block segmentation + link-density boilerplate
     removal on the stdlib HTMLParser — exactly 4 blocks segmented, the
     2 prose paragraphs kept verbatim, closed-form oracle; slot freed by
-    demoting the driver-green-r5, unchanged etl_topic_dispatch_decode).
-    Gate is now 118 rows / 115 oracles; the crawl suite sits
+    demoting the driver-green-r5, unchanged etl_topic_dispatch_decode), and t19_content_encoding
+    (position 9: RFC 9110 Content-Encoding decode — identity /
+    multi-member gzip / zlib-deflate / raw-deflate legs through the
+    production decoder, decoded sha256 + length oracled closed-form;
+    slot freed by demoting the driver-green-r5, unchanged
+    f4b_uint256_sum).
+    Gate is now 119 rows / 116 oracles; the crawl suite sits
     at 29-37 and the new dedup rows fill 38-50 — every in-window
     dedup slot is a round-6 row; d1-d6 (driver-green r5) sit just
     past the cut. s5_utxo_explode, f2_url_canonicalize,

@@ -1352,6 +1352,80 @@ def q_t18_boilerplate_sql():
     """
 
 
+def q_t19_content_encoding(spark, sf_dir):
+    """Content-Encoding decode gate (round-6 continuation —
+    functions/contentenc.py, RFC 9110 §8.4 with the two real-world
+    warts: multi-member gzip bodies and raw-DEFLATE 'deflate').
+    Four legs cycle by doc_id%4 — identity, gzip (TWO concatenated
+    members when doc_id%8==1, exercising the member-boundary walk),
+    zlib-wrapped deflate, raw-DEFLATE deflate — each compressing the
+    doc text in-kernel and decoding through the production path; the
+    oracle pins the decoded sha256 and byte length closed-form."""
+    import io
+    import gzip as _gzip
+    import zlib
+
+    import pandas as pd
+
+    from blockchainspider_spark.functions.contentenc import (
+        decode_content_encoding,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80) \
+        .select("doc_id", "text")
+
+    def gz(data):
+        buf = io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(data)
+        return buf.getvalue()
+
+    def kernel(batches):
+        cols = ["doc_id", "enc_label", "decoded"]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = text.encode("utf-8")
+                leg = did % 4
+                if leg == 0:
+                    raw, header, label = body, None, "identity"
+                elif leg == 1:
+                    if did % 8 == 1:
+                        mid = len(body) // 2
+                        raw = gz(body[:mid]) + gz(body[mid:])
+                    else:
+                        raw = gz(body)
+                    header, label = "gzip", "gzip"
+                elif leg == 2:
+                    raw, header, label = zlib.compress(body), "deflate", "deflate"
+                else:
+                    c = zlib.compressobj(wbits=-15)
+                    raw = c.compress(body) + c.flush()
+                    header, label = "deflate", "deflate-raw"
+                out["doc_id"].append(did)
+                out["enc_label"].append(label)
+                out["decoded"].append(decode_content_encoding(raw, header))
+            yield pd.DataFrame(out, columns=cols)
+
+    rows = d.mapInPandas(kernel, "doc_id long, enc_label string, decoded binary")
+    return rows.select(
+        "doc_id", "enc_label",
+        F.sha2(F.col("decoded"), 256).alias("decoded_sha"),
+        F.octet_length("decoded").cast("long").alias("decoded_len"))
+
+
+def q_t19_content_encoding_sql():
+    return """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+                WHEN 2 THEN 'deflate' ELSE 'deflate-raw' END AS enc_label,
+           sha256(text) AS decoded_sha,
+           CAST(strlen(text) AS BIGINT) AS decoded_len
+    FROM documents WHERE doc_id < 80
+    """
+
+
 def q_mm_image_jpeg_prog(spark, sf_dir):
     """Progressive-JPEG payload gate (round 6 continuation): most large
     web JPEGs are SOF2, so the crawl payload contract must hold on
