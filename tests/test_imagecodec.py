@@ -79,7 +79,12 @@ def test_phash_locality():
 
 
 def test_decode_unknown_format_gated():
+    # a format with no decoder in the container refuses loudly
     with pytest.raises(NotImplementedError):
+        C.decode(b"xxxx", "avif")
+    # formats that DO decode (webp since the round-6 continuation)
+    # reject garbage bytes with the codec's own loud error instead
+    with pytest.raises(ValueError, match="RIFF"):
         C.decode(b"xxxx", "webp")
 
 
