@@ -91,9 +91,15 @@ def build_record(warc_type: str, block: bytes, *, target_uri: str | None = None,
                  gzip_member: bool = False) -> bytes:
     """Serialize one WARC record; ``gzip_member=True`` wraps it in its
     own gzip member (mtime pinned to 0 for byte determinism)."""
+    extra = extra_fields or {}
+    # extra fields join the id derivation so records that differ only in
+    # them (e.g. per-shard warcinfo via WARC-Filename) get distinct ids;
+    # with no extras the salt reduces to the target URI (ids stable)
+    id_salt = (target_uri or "") + "".join(
+        f"\x01{k}\x02{v}" for k, v in sorted(extra.items()))
     fields = [
         ("WARC-Type", warc_type),
-        ("WARC-Record-ID", deterministic_record_id(warc_type, target_uri or "", date)),
+        ("WARC-Record-ID", deterministic_record_id(warc_type, id_salt, date)),
         ("WARC-Date", date),
     ]
     if target_uri is not None:
@@ -103,7 +109,7 @@ def build_record(warc_type: str, block: bytes, *, target_uri: str | None = None,
         if not sep:
             raise WarcError("application/http block has no header terminator")
         fields.append(("WARC-Payload-Digest", payload_digest(payload)))
-    for k, v in (extra_fields or {}).items():
+    for k, v in extra.items():
         fields.append((k, v))
     fields.append(("Content-Type", content_type))
     fields.append(("Content-Length", str(len(block))))

@@ -33,7 +33,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 from blockchainspider_spark.functions.warc import (
-    build_response_record, parse_warc, surt,
+    build_record, build_response_record, parse_warc, surt,
 )
 
 WARC_RECORD_SCHEMA = (
@@ -49,18 +49,22 @@ WARC_RECORD_SCHEMA = (
 
 def write_warc(pages: DataFrame, out_dir: str, *,
                date: str = "2026-01-01T00:00:00Z",
-               max_shard_bytes: int = 1 << 30) -> None:
+               max_shard_bytes: int = 1 << 30,
+               warcinfo: bool = True) -> None:
     """Pages ``(url string, status int, content_type string,
     payload binary)`` → ``<out_dir>/part-<pid>-<k>.warc.gz`` shards.
 
     Executor-side only: each task streams its partition into gzip
     members and rolls to a new shard file when the current one passes
     ``max_shard_bytes`` (the ~1 GiB contract that keeps one shard ≈ one
-    read task downstream). Record IDs and gzip headers are
-    deterministic (functions/warc.py), so a retried task rewrites an
-    identical shard."""
+    read task downstream). Each shard opens with a ``warcinfo`` record
+    (the spec's recommended layout; ``warcinfo=False`` disables it).
+    Record IDs and gzip headers are deterministic (functions/warc.py),
+    so a retried task rewrites an identical shard."""
     reasons = {200: "OK", 301: "Moved Permanently", 304: "Not Modified",
                404: "Not Found", 500: "Internal Server Error"}
+    info_block = (b"software: blockchainspider-spark\r\n"
+                  b"format: WARC File Format 1.1\r\n")
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext
@@ -78,9 +82,17 @@ def write_warc(pages: DataFrame, out_dir: str, *,
                 if fh is None or written + len(rec) > max_shard_bytes:
                     if fh is not None:
                         fh.close()
-                    path = os.path.join(out_dir, f"part-{pid:05d}-{shard_no}.warc.gz")
-                    fh = open(path, "wb")
+                    name = f"part-{pid:05d}-{shard_no}.warc.gz"
+                    fh = open(os.path.join(out_dir, name), "wb")
                     shard_no, written = shard_no + 1, 0
+                    if warcinfo:
+                        info = build_record(
+                            "warcinfo", info_block, date=date,
+                            content_type="application/warc-fields",
+                            extra_fields={"WARC-Filename": name},
+                            gzip_member=True)
+                        fh.write(info)
+                        written += len(info)
                 fh.write(rec)
                 written += len(rec)
         finally:

@@ -144,7 +144,11 @@ def test_spark_warc_roundtrip_and_cdx(spark, tmp_path):
     assert len(shards) == 3  # one per non-empty partition
 
     recs = read_warc(spark, out)
-    got = {r["target_uri"]: r for r in recs.collect()}
+    # each shard opens with a warcinfo record carrying WARC-Filename
+    infos = recs.where("warc_type = 'warcinfo'").collect()
+    assert len(infos) == 3 and all(r["target_uri"] is None for r in infos)
+    responses = recs.where("warc_type = 'response'")
+    got = {r["target_uri"]: r for r in responses.collect()}
     assert len(got) == 20
     for i in range(20):
         r = got[f"http://w{i % 3}.ex.test/doc/{i}"]
@@ -183,4 +187,8 @@ def test_write_warc_shard_rolling(spark, tmp_path):
     write_warc(pages, out, max_shard_bytes=3000)
     shards = sorted(os.listdir(out))
     assert len(shards) > 1  # rolled
-    assert read_warc(spark, out).count() == 10
+    recs = read_warc(spark, out)
+    assert recs.where("warc_type = 'response'").count() == 10
+    # one warcinfo per shard, each naming its own file
+    infos = recs.where("warc_type = 'warcinfo'").collect()
+    assert len(infos) == len(shards)

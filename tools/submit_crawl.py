@@ -191,7 +191,7 @@ def main():
             cdx_index(records).write.mode("overwrite").parquet(
                 os.path.join(args.warc_out, "cdx"))
             summary["warc"] = {
-                "records": records.count(),
+                "records": records.where("warc_type = 'response'").count(),
                 "shards": records.select("filename").distinct().count(),
             }
         print(json.dumps(summary, default=str))
