@@ -106,8 +106,9 @@ def _collect_suites(idx: int) -> dict:
     vector), mm_image_bmp (26: REAL 24bpp BI_RGB DIB codec round-trip
     with stride-padded rows, closed-form full oracle —
     functions/bmpcodec.py, slot freed by demoting the driver-green-r5
-    p3_symbol_identity), mm_pixel_dedup (27: cross-format dedup — the
-    same pixels as PNG/GIF/BMP collapse to one decoded-pixel md5,
+    p3_symbol_identity), mm_pixel_dedup (27: cross-format dedup — widened to SIX
+    formats in the third continuation: PNG/GIF/BMP/TIFF/WebP/ICO, the
+    last three via fmt='auto' sniffing, collapse to one decoded-pixel md5,
     closed-form count oracle incl. a cross-doc collision check; slot
     freed by demoting the driver-green-r5 o6_priority_queue),
     s25_sitemap_ingest (28: sitemap.xml frontier ingestion — urlset

@@ -2598,11 +2598,14 @@ def q_mm_image_bmp_sql():
 
 
 def q_mm_pixel_dedup(spark, sf_dir):
-    """Cross-format image dedup (round 6): the SAME per-doc pixels
-    encoded three ways — PNG, GIF, BMP, all lossless — must collapse to
-    ONE decoded-pixel fingerprint (multimodal.pixel_fingerprint), while
-    no two docs may collide. Counts are closed-form for DuckDB: per doc
-    3 encodings, 1 distinct fp, and that fp shared by exactly 1 doc
+    """Cross-format image dedup (round 6; widened to SIX formats in the
+    third continuation): the SAME per-doc pixels encoded as PNG, GIF,
+    BMP, TIFF, WebP-lossless and ICO — every lossless container the
+    payload path decodes — must collapse to ONE decoded-pixel
+    fingerprint (multimodal.pixel_fingerprint; the three new legs ride
+    fmt='auto', so magic sniffing is also under test), while no two
+    docs may collide. Counts are closed-form for DuckDB: per doc 6
+    encodings, 1 distinct fp, and that fp shared by exactly 1 doc
     (fp_shared_by comes from a groupBy over the fp itself, so a
     cross-doc md5 collision would fail the oracle, not pass silently)."""
     import numpy as np
@@ -2610,7 +2613,10 @@ def q_mm_pixel_dedup(spark, sf_dir):
 
     from blockchainspider_spark.functions.bmpcodec import bmp_encode
     from blockchainspider_spark.functions.gifcodec import gif_encode
+    from blockchainspider_spark.functions.icocodec import ico_encode
     from blockchainspider_spark.functions.imagecodec import png_encode
+    from blockchainspider_spark.functions.tiffcodec import tiff_encode
+    from blockchainspider_spark.functions.webpcodec import webp_encode
     from blockchainspider_spark.operators.multimodal import pixel_fingerprint
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
@@ -2625,10 +2631,15 @@ def q_mm_pixel_dedup(spark, sf_dir):
                     np.uint8,
                 )
                 img = pal[np.indices((12, 11)).sum(axis=0) % 2]
-                for fmt, enc in (("png", png_encode), ("gif", gif_encode),
-                                 ("bmp", bmp_encode)):
-                    out["image_id"].append(f"doc-{did}-{fmt}")
-                    out["bytes"].append(enc(img))
+                legs = (("png", png_encode(img), "png"),
+                        ("gif", gif_encode(img), "gif"),
+                        ("bmp", bmp_encode(img), "bmp"),
+                        ("tiff", tiff_encode(img), "auto"),
+                        ("webp", webp_encode(img), "auto"),
+                        ("ico", ico_encode(img), "auto"))
+                for name, data, fmt in legs:
+                    out["image_id"].append(f"doc-{did}-{name}")
+                    out["bytes"].append(data)
                     out["fmt"].append(fmt)
             yield pd.DataFrame(out)
 
@@ -2654,7 +2665,7 @@ def q_mm_pixel_dedup(spark, sf_dir):
 def q_mm_pixel_dedup_sql():
     return """
     SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
-           3::BIGINT AS n_enc, 1::BIGINT AS n_fp, 1::BIGINT AS fp_shared_by
+           6::BIGINT AS n_enc, 1::BIGINT AS n_fp, 1::BIGINT AS fp_shared_by
     FROM documents WHERE doc_id < 48
     """
 
