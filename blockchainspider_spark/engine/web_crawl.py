@@ -100,7 +100,8 @@ class WebCrawlState:
 
 class WebCrawlEngine:
     def __init__(self, spark: SparkSession, pages: DataFrame, max_depth: int = 3,
-                 work_dir: str | None = None, robots_rules: DataFrame | None = None):
+                 work_dir: str | None = None, robots_rules: DataFrame | None = None,
+                 trap_filter: bool = False, strip_sessions: bool = False):
         self.spark = spark
         self.pages = pages.select("url", "html")
         self.max_depth = max_depth
@@ -110,6 +111,15 @@ class WebCrawlEngine:
         # applied to candidate links before scheduling; default OFF to
         # match the reference's ROBOTSTXT_OBEY=False ordering
         self.robots_rules = robots_rules
+        # optional frontier hygiene (functions/urltraps, round-6
+        # continuation), both default OFF to preserve the reference's
+        # scheduling contract: trap_filter drops pathological/deep/
+        # calendar URLs before scheduling; strip_sessions rewrites
+        # links to their session-token-free form BEFORE fingerprinting,
+        # so ?phpsessid= variants dedup to one fetch (all pure JVM
+        # column algebra — no Python stage joins the schedule path)
+        self.trap_filter = trap_filter
+        self.strip_sessions = strip_sessions
 
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self._work_dir, "fetch_log", f"wave={wave:05d}")
@@ -154,6 +164,16 @@ class WebCrawlEngine:
             from blockchainspider_spark.functions.robots import apply_robots_gate
 
             links = apply_robots_gate(links, self.robots_rules, url_col="link")
+        link_cols = links.columns
+        if self.trap_filter:
+            from blockchainspider_spark.functions.urltraps import url_trap_features
+
+            links = (url_trap_features(links, url_col="link")
+                     .where(~F.col("is_trap")).select(*link_cols))
+        if self.strip_sessions:
+            from blockchainspider_spark.functions.urltraps import strip_session_ids
+
+            links = links.withColumn("link", strip_session_ids(F.col("link")))
         candidates = links.withColumn("fingerprint", request_fp(F.col("link")))
         fresh = candidates.join(state.seen, on="fingerprint", how="left_anti")
         first = fresh.groupBy("fingerprint").agg(

@@ -298,3 +298,36 @@ def test_robots_gate_first_match_allow_shadowing(spark):
     assert all(f"http://h2{p}" in kept for p in paths)
     assert "http://h3/b" in kept and "http://h3/a" not in kept
     assert "http://h4/a" not in kept
+
+
+def test_trap_filter_and_session_strip(spark, web_source):
+    # hand-built page graph: the seed links to a pathological trap URL,
+    # a calendar trap, and the same page twice under different session
+    # ids; with hygiene ON the traps are never scheduled and the two
+    # session variants dedup to one fetch
+    seed = "http://ex.test/"
+    pages = [
+        (seed,
+         '<a href="http://ex.test/a/a/a/a">loop</a>'
+         '<a href="http://ex.test/cal/2026/08/18/1999">cal</a>'
+         '<a href="http://ex.test/page?phpsessid=abc&q=1">s1</a>'
+         '<a href="http://ex.test/page?phpsessid=def&q=1">s2</a>'
+         '<a href="http://ex.test/ok">ok</a>'),
+        ("http://ex.test/page?q=1", "fine"),
+        ("http://ex.test/ok", "fine too"),
+        ("http://ex.test/a/a/a/a", "trap body"),
+        ("http://ex.test/cal/2026/08/18/1999", "cal body"),
+    ]
+    pages_df = spark.createDataFrame(pages, "url string, html string")
+
+    clean = WebCrawlEngine(spark, pages_df, max_depth=1,
+                           trap_filter=True, strip_sessions=True).run(seed)
+    urls = [u for _, u, _ in clean.fetch_log]
+    assert urls == [seed, "http://ex.test/page?q=1", "http://ex.test/ok"]
+
+    # hygiene OFF (the reference contract): traps scheduled, session
+    # variants fetched separately (distinct fingerprints)
+    dirty = WebCrawlEngine(spark, pages_df, max_depth=1).run(seed)
+    dirty_urls = [u for _, u, _ in dirty.fetch_log]
+    assert len(dirty_urls) == 6  # seed + all 5 links, sid variants distinct
+    assert "http://ex.test/a/a/a/a" in dirty_urls
