@@ -113,6 +113,11 @@ def build_record(warc_type: str, block: bytes, *, target_uri: str | None = None,
         fields.append((k, v))
     fields.append(("Content-Type", content_type))
     fields.append(("Content-Length", str(len(block))))
+    for k, v in fields:
+        # a CR/LF smuggled into a field value (e.g. a hostile URL)
+        # would corrupt the record framing — refuse, never emit
+        if "\r" in str(v) or "\n" in str(v) or "\r" in k or "\n" in k:
+            raise WarcError(f"CR/LF in WARC header field {k!r}")
     raw = b"WARC/1.1" + CRLF
     raw += b"".join(f"{k}: {v}".encode() + CRLF for k, v in fields)
     raw += CRLF + block + CRLF + CRLF

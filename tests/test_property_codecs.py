@@ -209,3 +209,105 @@ def test_webp_vp8l_roundtrip(img, lz, cb, sg):
 
     data = webp_encode(img, use_lz77=lz, cache_bits=cb, subtract_green=sg)
     assert np.array_equal(webp_decode(data), img)
+
+
+# --------------------------------------------------------------- WARC
+# (round-6 third continuation): framing is Content-Length-based, so
+# payloads containing CRLFCRLF, the WARC magic, or gzip magic must
+# never confuse the parser; gzip membership varies per record.
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.binary(min_size=0, max_size=200),                    # payload
+        st.integers(min_value=0, max_value=999),                # uri salt
+        st.booleans(),                                          # gzip?
+        st.sampled_from([200, 301, 404, 500]),                  # status
+    ),
+    min_size=1, max_size=6,
+))
+def test_warc_roundtrip_arbitrary_payloads(recs):
+    from blockchainspider_spark.functions.warc import (
+        build_response_record, parse_warc,
+    )
+
+    adversarial = [b"\r\n\r\n", b"WARC/1.1\r\n", b"\x1f\x8b\x08tail"]
+    data = b""
+    want = []
+    for i, (payload, salt, gz, status) in enumerate(recs):
+        payload = payload + adversarial[i % 3]  # embed framing look-alikes
+        uri = f"http://h{salt % 7}.ex.test/p/{salt}"
+        data += build_response_record(uri, status, "X", "application/octet-stream",
+                                      payload, gzip_member=gz)
+        want.append((uri, status, payload))
+    got = parse_warc(data)
+    assert [(r["target_uri"], r["http_status"], r["payload"]) for r in got] == want
+    # offsets tile the compressed stream exactly
+    assert got[0]["offset"] == 0
+    for a, b in zip(got, got[1:]):
+        assert b["offset"] == a["offset"] + a["length"]
+    assert got[-1]["offset"] + got[-1]["length"] == len(data)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="abc/\r\n?=&", min_size=1, max_size=30))
+def test_warc_header_injection_refused_or_safe(uri):
+    from blockchainspider_spark.functions.warc import (
+        WarcError, build_response_record, parse_warc,
+    )
+
+    try:
+        rec = build_response_record(f"http://x/{uri}", 200, "OK",
+                                    "text/plain", b"p")
+    except WarcError:
+        assert "\r" in uri or "\n" in uri  # refusal only for CR/LF
+        return
+    (r,) = parse_warc(rec)  # accepted values must round-trip cleanly
+    assert r["target_uri"] == f"http://x/{uri}"
+
+
+# ------------------------------------------------- Content-Encoding
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=3000),
+       st.sampled_from(["identity", "gzip-1", "gzip-2", "deflate", "deflate-raw"]))
+def test_content_encoding_roundtrip(body, leg):
+    import gzip as _g
+    import io
+    import zlib
+
+    from blockchainspider_spark.functions.contentenc import (
+        decode_content_encoding,
+    )
+
+    def gz(b):
+        buf = io.BytesIO()
+        with _g.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    if leg == "identity":
+        raw, header = body, None
+    elif leg == "gzip-1":
+        raw, header = gz(body), "gzip"
+    elif leg == "gzip-2":
+        mid = len(body) // 2
+        raw, header = gz(body[:mid]) + gz(body[mid:]), "gzip"
+    elif leg == "deflate":
+        raw, header = zlib.compress(body), "deflate"
+    else:
+        c = zlib.compressobj(wbits=-15)
+        raw, header = c.compress(body) + c.flush(), "deflate"
+    assert decode_content_encoding(raw, header) == body
+
+
+# --------------------------------------------------------- charset
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_page_total_on_arbitrary_bytes(raw):
+    from blockchainspider_spark.functions.charset import decode_page
+
+    text, enc, src = decode_page(raw)  # must never raise
+    assert isinstance(text, str)
+    if enc in ("ascii", "utf-8") and src in ("ascii", "utf8"):
+        # heuristic legs must round-trip the original bytes
+        assert text.encode("utf-8") == raw
