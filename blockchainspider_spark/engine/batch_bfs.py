@@ -156,7 +156,16 @@ class BfsWaveEngine:
         # (operators/transfers.write_bucketed_touch): the sort-merge
         # expand join then reads the edge side pre-distributed and only
         # the frontier side shuffles (pinned in test_bucketed_touch).
-        self._touch = touch if touch is not None else endpoint_exploded(edges).persist()
+        if touch is not None:
+            self._touch = touch
+        else:
+            # materialize the index at construction (r7): the same
+            # convention as HaircutWaveEngine._outs / TtrRedirectWave-
+            # Engine._touch — building the endpoint view is engine
+            # setup, not crawl work, and leaving it lazy charged the
+            # whole cache build to the first wave's expand join.
+            self._touch = endpoint_exploded(edges).persist()
+            self._touch.count()
         self._prev_seen: DataFrame | None = None
 
     # ------------------------------------------------------------------ setup
@@ -215,17 +224,29 @@ class BfsWaveEngine:
         within-wave dedup'd); union + global dedup happens in run()."""
         t0 = time.monotonic()
         wave = state.wave + 1
+        from blockchainspider_spark.engine.wave_common import WaveTrace
+        tr = WaveTrace(f"bfs w{wave}")
         expansions = self._expand(state.frontier)
-
-        # canonical per-parent scan rank (block_number, timestamp, id asc)
-        rank_w = Window.partitionBy("_parent").orderBy(
-            *[F.col(c).asc() for c in CANONICAL_ORDER_COLS]
-        )
-        ranked = expansions.withColumn("_erank", F.row_number().over(rank_w))
 
         emitted = expansions.select(*self.edges.columns).dropDuplicates(["id"])
         if self.hooks is not None:
             emitted = self.hooks.apply_transfers(emitted)
+
+        # schedule path: only parents BELOW max_depth can contribute
+        # children, so expand the depth-filtered frontier (r7) — the
+        # per-parent ranks are unchanged (the window is per parent) and
+        # on the final wave AQE collapses the empty-broadcast join to an
+        # empty relation instead of scanning the whole touch view.
+        # ``emitted`` above still expands the full frontier (depth-
+        # max_depth pops do fetch their transfers — K1/K2 semantics).
+        cand_expansions = self._expand(
+            state.frontier.where(F.col("depth") < self.max_depth)
+        )
+        # canonical per-parent scan rank (block_number, timestamp, id asc)
+        rank_w = Window.partitionBy("_parent").orderBy(
+            *[F.col(c).asc() for c in CANONICAL_ORDER_COLS]
+        )
+        ranked = cand_expansions.withColumn("_erank", F.row_number().over(rank_w))
 
         candidates = (
             ranked.where(F.col("_pdepth") + 1 <= F.lit(self.max_depth))
@@ -294,6 +315,7 @@ class BfsWaveEngine:
         )
         self.driver_rows_collected += assignment.driver_rows
         n_new = assignment.total
+        tr.mark("assign")
 
         # persist this wave's pops as a parquet table (the pop log) and
         # read it back: flat lineage, zero frontier rows on the driver
@@ -301,6 +323,7 @@ class BfsWaveEngine:
             "node", "depth", "seq", F.lit(wave).alias("wave"), "fingerprint"
         ).write.mode("overwrite").parquet(self._pop_wave_dir(wave))
         assignment.cleanup()
+        tr.mark("poplog")
         wave_pops = self.spark.read.parquet(self._pop_wave_dir(wave))
 
         if self.use_bloom and self._bloom is not None and n_new:
@@ -347,6 +370,8 @@ class BfsWaveEngine:
             )
             self._host_lineage = [r.asDict() for r in host_rows]
 
+        tr.mark("seen")
+        tr.done()
         lineage_row = {
             "wave": wave,
             "frontier_in": state.frontier_size,

@@ -29,8 +29,37 @@ import glob
 import json
 import os
 import shutil
+import sys
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class WaveTrace:
+    """Per-wave wall-clock splits on stderr, gated by
+    SPARK_GRAFT_WAVE_TRACE (bench_extra.py sets it). Zero overhead when
+    off beyond one env lookup per wave."""
+
+    __slots__ = ("_label", "_t0", "_last", "_steps", "_on")
+
+    def __init__(self, label: str):
+        self._on = bool(os.environ.get("SPARK_GRAFT_WAVE_TRACE"))
+        if self._on:
+            self._label = label
+            self._t0 = self._last = time.monotonic()
+            self._steps: list[str] = []
+
+    def mark(self, step: str) -> None:
+        if self._on:
+            now = time.monotonic()
+            self._steps.append(f"{step}={now - self._last:.3f}")
+            self._last = now
+
+    def done(self) -> None:
+        if self._on:
+            total = time.monotonic() - self._t0
+            print(f"# wave-trace {self._label}: total={total:.3f} "
+                  + " ".join(self._steps), file=sys.stderr)
 
 
 class PopLog:

@@ -42,7 +42,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from blockchainspider_spark.engine.wave_common import PopLog, WaveCheckpoint, ensure_wave_aligned
+from blockchainspider_spark.engine.wave_common import (
+    PopLog,
+    WaveCheckpoint,
+    WaveTrace,
+    ensure_wave_aligned,
+)
 from blockchainspider_spark.operators.transfers import with_symbol_identity
 
 NODE_STATE_SCHEMA = (
@@ -108,6 +113,15 @@ class HaircutWaveEngine:
             .drop("_bn", "_ts", "id")
             .persist()
         )
+        # per-node out-sum index (A1), computed once and persisted: every
+        # wave's push used to recompute it twice — a window over the
+        # joined slice for the scatter denominators plus a separate
+        # groupBy scan of the whole out-edge view for the zeroing set
+        # (two full _outs probes per wave). One node-level table serves
+        # both, probed with the ≤k-row pop set (r7, guide §2.4).
+        self._out_totals = (
+            self._outs.groupBy("from").agg(F.sum("value").alias("outsum")).persist()
+        )
 
     POP_LOG_SCHEMA = "seq long, node string, weight double, wave long"
 
@@ -148,12 +162,18 @@ class HaircutWaveEngine:
         )
         return self._run_from(st, plog, max_pops)
 
+    POPPED_SCHEMA = (
+        "node string, weight double, fk struct<wave:long,pseq:long,erank:long>, "
+        "seq long, outsum double"
+    )
+
     def _run_from(self, st: HaircutWaveState, plog: PopLog,
                   max_pops: int | None = None) -> HaircutWaveState:
         pop_order = [F.desc("weight"), F.asc("fk")]
-        seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
+        spark = self.spark
         while True:
             wave = st.wave + 1
+            tr = WaveTrace(f"haircut w{wave}")
             # eligibility follows VecHaircut.pop exactly: weight ≥
             # min_weight, strictly positive, not yet visited
             eligible = st.node_state.where(
@@ -166,38 +186,57 @@ class HaircutWaveEngine:
             if budget <= 0:
                 break
             ensure_wave_aligned(eligible, budget, self.k, wave, max_pops)
-            popped = (
+            # top-k pop: TakeOrderedAndProject merges the ≤k winning rows
+            # on the driver anyway — collect them (bounded by k, the same
+            # O(k) driver posture as the old per-wave pop broadcast) and
+            # re-ship as a LocalRelation: seq assignment is trivial
+            # (collect preserves the sort order) and every downstream
+            # probe broadcasts the local rows with no extra jobs (r7;
+            # replaces a localCheckpoint job + a count job + a window).
+            pop_rows = (
                 eligible.orderBy(*pop_order).limit(budget)
-                .withColumn("seq", (F.lit(st.next_seq) - 1 + F.row_number().over(seq_w)).cast("long"))
-                .localCheckpoint(eager=True)
+                .select("node", "weight", "fk").collect()
             )
-            n_pops = popped.count()
+            n_pops = len(pop_rows)
             if n_pops == 0:
                 break
-            # fast path: popped is already localCheckpoint-resident —
-            # append it to the log with no per-wave disk round-trip
-            # (PopLog mirrors to durable parquet when checkpointing)
+            # attach the A1 out-sum per popped node from the persisted
+            # node-level index — one ≤k-row probe per wave instead of a
+            # full _outs window plus a full _outs groupBy (r7)
+            pop_nodes = [r["node"] for r in pop_rows]
+            totals = {
+                r["from"]: r["outsum"]
+                for r in self._out_totals.where(
+                    F.col("from").isin(pop_nodes)).collect()
+            }
+            popped = spark.createDataFrame(
+                [
+                    (r["node"], r["weight"], tuple(r["fk"]),
+                     st.next_seq + i, totals.get(r["node"]))
+                    for i, r in enumerate(pop_rows)
+                ],
+                self.POPPED_SCHEMA,
+            )
+            tr.mark("pop")
             pop_log_df = plog.append(
                 popped.select("seq", "node", "weight",
                               F.lit(wave).cast("long").alias("wave")),
                 wave,
             )
 
-            # push: broadcast the ≤k popped rows into the out-edge view;
-            # A1 out-sum per parent as a window over the (small) joined
-            # slice, A2 proportional scatter as delta rows
-            pj = self._outs.join(
-                F.broadcast(popped.select(
-                    F.col("node").alias("from"),
-                    F.col("seq").alias("_pseq"),
-                    F.col("weight").alias("_pw"),
-                )),
-                on="from", how="inner",
-            )
-            outsum = F.sum("value").over(Window.partitionBy("from"))
+            # push: broadcast the ≤k popped rows (with their A1 out-sums
+            # attached) into the out-edge view — A2 proportional scatter
+            # as delta rows; one _outs probe, no per-wave window
             deltas = (
-                pj.withColumn("_outsum", outsum)
-                .where(F.col("_outsum") > 0.0)
+                self._outs.join(
+                    F.broadcast(popped.where(F.col("outsum") > 0.0).select(
+                        F.col("node").alias("from"),
+                        F.col("seq").alias("_pseq"),
+                        F.col("weight").alias("_pw"),
+                        F.col("outsum").alias("_outsum"),
+                    )),
+                    on="from", how="inner",
+                )
                 .select(
                     F.col("to").alias("node"),
                     (F.col("_pw") * F.col("value") / F.col("_outsum")).alias("weight"),
@@ -214,26 +253,18 @@ class HaircutWaveEngine:
             # pop KEEPS its weight; found by the wave property tests),
             # zeroing before the delta fold so self-loops re-credit the
             # popped node; mark all pops visited; fold deltas in ONE
-            # groupBy. `scattered` is ≤k rows — broadcast.
-            scattered = (
-                pj.groupBy("from").agg(F.sum("value").alias("_os"))
-                .where(F.col("_os") > 0.0)
-                .select(F.col("from").alias("node"), F.lit(True).alias("_zero"))
-            )
-            is_popped = F.col("_pseq").isNotNull()
-            base = (
-                st.node_state.join(
-                    F.broadcast(popped.select("node", F.col("seq").alias("_pseq"))),
-                    on="node", how="left",
-                )
-                .join(F.broadcast(scattered), on="node", how="left")
-                .select(
-                    "node",
-                    F.when(F.col("_zero").isNotNull(), 0.0)
-                    .otherwise(F.col("weight")).alias("weight"),
-                    "fk",
-                    (F.col("visited") | is_popped).alias("visited"),
-                )
+            # groupBy. Both pop sets are ≤k node strings — plain
+            # IN-predicates on the state scan, no joins at all.
+            tr.mark("log")
+            scattered_nodes = [n for n in pop_nodes
+                               if (totals.get(n) or 0.0) > 0.0]
+            zeroed = (F.col("node").isin(scattered_nodes) if scattered_nodes
+                      else F.lit(False))
+            base = st.node_state.select(
+                "node",
+                F.when(zeroed, 0.0).otherwise(F.col("weight")).alias("weight"),
+                "fk",
+                (F.col("visited") | F.col("node").isin(pop_nodes)).alias("visited"),
             )
             new_state = (
                 base.unionByName(deltas)
@@ -245,6 +276,8 @@ class HaircutWaveEngine:
                 )
                 .localCheckpoint(eager=True)
             )
+            tr.mark("merge")
+            tr.done()
             st = HaircutWaveState(
                 wave=wave,
                 node_state=new_state,

@@ -36,10 +36,15 @@ from __future__ import annotations
 import tempfile
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blockchainspider_spark.engine.wave_common import PopLog, WaveCheckpoint, ensure_wave_aligned
+from blockchainspider_spark.engine.wave_common import (
+    PopLog,
+    WaveCheckpoint,
+    WaveTrace,
+    ensure_wave_aligned,
+)
 from blockchainspider_spark.operators.transfers import with_symbol_identity
 
 REDIRECT_CHIPS_SCHEMA = "node string, symbol string, ts long, val double"
@@ -371,6 +376,11 @@ class TtrRedirectWaveEngine:
             F.explode(F.array_distinct(F.array("from", "to"))).alias("node"),
             "id", "hash", "from", "to", "value", "ts", "symbol", "_bn",
         ).persist()
+        # the hub-degree census is an engine INDEX (one scan, like the
+        # touch view itself) — build it at construction, not lazily in
+        # the middle of the first push wave (r7: it was a full-touch
+        # groupBy + collect silently charged to wave 2)
+        self._hub_node_set()
 
     POP_LOG_SCHEMA = "seq long, node string, residual double, wave long"
 
@@ -518,14 +528,16 @@ class TtrRedirectWaveEngine:
         return self._run_from(st, plog, source,
                               seeded=scalars["seeded"], max_pops=max_pops)
 
+    POPPED_SCHEMA = "seq long, node string, residual double"
+
     def _run_from(self, st: TtrRedirectWaveState, plog: PopLog, source: str,
                   seeded: bool, max_pops: int | None = None) -> TtrRedirectWaveState:
         pop_order = [F.desc("r"), F.asc("fk")]
-        seq_w = Window.partitionBy(F.lit(0)).orderBy(*pop_order)
         kernel = _push_kernel(self.alpha, self.beta, self.epsilon,
                               self.max_push_edges)
         while True:
             wave = st.wave + 1
+            tr = WaveTrace(f"redirect w{wave}")
             budget = self.k
             if max_pops is not None:
                 budget = min(budget, max_pops - st.next_seq)
@@ -537,17 +549,24 @@ class TtrRedirectWaveEngine:
                 .join(st.meta.select("node", "fk"), on="node", how="inner")
             )
             ensure_wave_aligned(eligible, budget, self.k, wave, max_pops)
-            popped = (
-                eligible
-                .orderBy(*pop_order).limit(budget)
-                .withColumn("seq", (F.lit(st.next_seq) - 1
-                                    + F.row_number().over(seq_w)).cast("long"))
-                .select("seq", "node", F.col("r").alias("residual"))
-                .localCheckpoint(eager=True)
+            # top-k pop via driver collect (≤k rows — TakeOrdered merges
+            # them on the driver anyway; same O(k) posture as the old
+            # per-wave pop broadcast + the existing hub-routing collect):
+            # seq assignment is trivial and downstream probes broadcast
+            # the LocalRelation with no extra jobs (r7)
+            pop_rows = (
+                eligible.orderBy(*pop_order).limit(budget)
+                .select("node", F.col("r").alias("residual")).collect()
             )
-            n_pops = popped.count()
+            n_pops = len(pop_rows)
             if n_pops == 0:
                 break
+            popped = self.spark.createDataFrame(
+                [(st.next_seq + i, r["node"], r["residual"])
+                 for i, r in enumerate(pop_rows)],
+                self.POPPED_SCHEMA,
+            )
+            tr.mark("pop")
             pop_log_df = plog.append(
                 popped.select("seq", "node", "residual",
                               F.lit(wave).cast("long").alias("wave")),
@@ -578,16 +597,18 @@ class TtrRedirectWaveEngine:
             else:
                 pop_key = popped.select("node", F.col("seq").alias("_pseq"),
                                         F.col("residual").alias("_r"))
-                chips_pop = st.chips.join(F.broadcast(pop_key.select("node")),
-                                          on="node", how="leftsemi")
-                rest = st.chips.join(F.broadcast(pop_key.select("node")),
-                                     on="node", how="left_anti")
+                # ≤k pop nodes as plain IN-predicates: the chip split
+                # needs no joins (r7; was a semi + an anti broadcast join
+                # over the full chip state per wave)
+                pop_nodes = [r["node"] for r in pop_rows]
+                chips_pop = st.chips.where(F.col("node").isin(pop_nodes))
+                rest = st.chips.where(~F.col("node").isin(pop_nodes))
                 # hub routing: pops above the degree cap take the
                 # two-stage path (distributed netting → walk on netted
                 # legs); everything else takes the one-kernel fast path
                 hubs = self._hub_node_set()
-                pop_hub = ([r["node"] for r in popped.select("node").collect()
-                            if r["node"] in hubs] if hubs else [])
+                tr.mark("census")
+                pop_hub = [n for n in pop_nodes if n in hubs] if hubs else []
                 parts = []
                 if len(pop_hub) < n_pops:
                     norm_key = (pop_key.where(~F.col("node").isin(pop_hub))
@@ -659,12 +680,14 @@ class TtrRedirectWaveEngine:
                 for extra in parts[1:]:
                     pushed = pushed.unionByName(extra)
                 pushed = pushed.localCheckpoint(eager=True)
+                tr.mark("push")
                 new_chips = (
                     rest.unionByName(pushed.select("node", "symbol", "ts", "val"))
                     .groupBy("node", "symbol", "ts")
                     .agg(F.sum("val").alias("val"))      # A10 as a DataFrame agg
                     .localCheckpoint(eager=True)
                 )
+                tr.mark("chips")
                 fk_new = pushed.groupBy("node").agg(
                     F.min(F.struct(
                         F.lit(wave).cast("long").alias("wave"),
@@ -689,6 +712,8 @@ class TtrRedirectWaveEngine:
                 .agg(F.sum("p").alias("p"), F.min("fk").alias("fk"))
                 .localCheckpoint(eager=True)
             )
+            tr.mark("meta")
+            tr.done()
             st = TtrRedirectWaveState(
                 wave=wave,
                 chips=new_chips,

@@ -830,8 +830,8 @@ def q_crawl_bfs_seen(spark, sf_dir):
     touch = edges.selectExpr("stack(2, src, dst) as endpoint", "src", "dst").persist()
     seed = spark.createDataFrame([("c1",)], "node string")
     d0 = seed
-    # materialize each level once (persist+count) so the next level's
-    # broadcast probe and the final union don't recompute the subplan
+    # materialize the depth-1 frontier once (persist+count) so the
+    # depth-2 broadcast probe and the final union don't recompute it
     d1 = (
         touch.join(F.broadcast(d0), touch.endpoint == d0.node)
         .selectExpr("stack(2, src, dst) as node")
@@ -840,14 +840,15 @@ def q_crawl_bfs_seen(spark, sf_dir):
         .persist()
     )
     d1.count()
-    seen01 = d0.union(d1)
-    d2 = (
+    # the visited set is d0 ∪ d1 ∪ N(d1) as a SET — the final distinct
+    # subsumes the old per-level dedup + anti-joins (r7: one exchange
+    # instead of three over the depth-2 candidate stream; row set is
+    # identical because union-distinct absorbs re-touched nodes)
+    d2_cands = (
         touch.join(F.broadcast(d1.withColumnRenamed("node", "hop")), touch.endpoint == F.col("hop"))
         .selectExpr("stack(2, src, dst) as node")
-        .distinct()
-        .join(seen01, on="node", how="left_anti")
     )
-    return seen01.union(d2).distinct()
+    return d0.union(d1).union(d2_cands).distinct()
 
 
 def q_crawl_bfs_seen_sql():

@@ -1,0 +1,142 @@
+"""Batch-vectorized synthetic fetch kernel (guide §4.2: hand whole Arrow
+batches to vectorized numpy instead of looping rows in Python).
+
+``synth_fetch_batch(keys)`` computes, for a batch of URL keys, exactly
+what the scalar path computes per key —
+
+    px  = fixtures.generators._pixels_for(key, 16, 16)
+    dec = imagecodec.qjpeg_decode(imagecodec.qjpeg_encode(px))
+    ph  = imagecodec.phash64(dec)
+    ok  = imagecodec.psnr(px, dec) >= 40.0
+
+— with the per-key Python/numpy fixed costs amortized across the batch:
+
+* the trig-surface bases are gathered for the whole batch with one
+  ``np.take`` per channel (same table entries as ``_pixels_for`` — the
+  tables themselves are shared, so values are identical by construction);
+* clip/quantize/gray/mesh-resample/DCT/median/packbits run as single
+  batched numpy ops over an (N, 16, 16, 3) block;
+* the genuinely per-key parts stay per-key: the seeded PCG64 noise
+  stream (a per-key rng stream by contract) and the zlib codec
+  round-trip (per-payload by nature).
+
+Bit-exactness is pinned by tests/test_fetchbatch.py: every batched op is
+an elementwise twin of the scalar op (clip, +, &, |) or a per-slice
+reduction over the same contiguous values in the same order (mean along
+the trailing axes, gemm per (32,32) slice, partition along the last
+axis), so phash bits and PSNR booleans match the scalar path exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+from blockchainspider_spark.fixtures.generators import _trig_tables
+from blockchainspider_spark.functions.imagecodec import _DCT32, _GRAY_W, _QJPEG_MAGIC
+
+_BATCH_TABS: dict = {}
+
+
+def _batch_tables(w: int, h: int) -> dict:
+    """Stack the per-(w,h) trig surfaces into dense arrays for batched
+    gather. Entries ARE the `_trig_tables` arrays (no recomputation), so
+    values match `_pixels_for` bit-for-bit."""
+    tabs = _BATCH_TABS.get((w, h))
+    if tabs is None:
+        t = _trig_tables(w, h)
+        ch0 = np.stack([t["ch0"][(a, b)] for a in range(3, 8) for b in range(3, 8)])
+        ch1 = np.stack([t["ch1"][c] for c in range(4, 9)])
+        tabs = {"ch0": ch0, "ch1": ch1, "ch2": np.zeros((256, h, w)),
+                "ch2_have": np.zeros(256, dtype=bool), "xy": t["xy"], "src": t}
+        _BATCH_TABS[(w, h)] = tabs
+    return tabs
+
+
+def _pixels_batch(keys, w: int = 16, h: int = 16) -> np.ndarray:
+    """(N, h, w, 3) uint8 — row i == _pixels_for(keys[i], w, h)."""
+    t = _batch_tables(w, h)
+    n = len(keys)
+    digs = [hashlib.sha256(str(k).encode()).digest() for k in keys]
+    d0 = np.empty(n, np.intp)
+    d1 = np.empty(n, np.intp)
+    d2 = np.empty(n, np.intp)
+    for i, d in enumerate(digs):
+        d0[i] = (d[0] % 5) * 5 + d[1] % 5
+        d1[i] = d[2] % 5
+        d2[i] = d[3]
+        if not t["ch2_have"][d[3]]:
+            # same lazy per-divisor fill (and the same float expression)
+            # as _pixels_for's ch2 cache — shared via the source tables
+            ch2 = t["src"]["ch2"].get(d[3])
+            if ch2 is None:
+                ch2 = np.cos(t["xy"] / (97 + d[3])) * 60 + 128
+                t["src"]["ch2"][d[3]] = ch2
+            t["ch2"][d[3]] = ch2
+            t["ch2_have"][d[3]] = True
+    base = np.empty((n, h, w, 3), np.float64)
+    base[..., 0] = t["ch0"][d0]
+    base[..., 1] = t["ch1"][d1]
+    base[..., 2] = t["ch2"][d2]
+    noise = np.empty((n, h, w, 3), np.float64)
+    for i, d in enumerate(digs):
+        rng = np.random.Generator(np.random.PCG64(int.from_bytes(d[:8], "big")))
+        noise[i] = rng.normal(0, 6, (h, w, 3))
+    base += noise
+    np.clip(base, 0, 255, out=base)
+    return base.astype(np.uint8)
+
+
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """int64[N] — row i == phash64(pixels[i]). Same gray weights, mesh,
+    DCT matrices, 31st-order-statistic median and MSB-first packing."""
+    n, h, w, _ = pixels.shape
+    gray = pixels.astype(np.float64) @ _GRAY_W
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = gray[:, ys[:, None], xs]
+    freq = _DCT32 @ small @ _DCT32.T
+    block = freq[:, :8, :8].reshape(n, 64)[:, 1:]
+    med = np.partition(block, 31, axis=1)[:, 31]
+    bits = block > med[:, None]
+    packed = np.packbits(bits, axis=1)          # (N, 8) MSB-first over 63 bits
+    vals = packed.copy().view(">u8").reshape(n) >> 1
+    return vals.astype(np.int64)
+
+
+def psnr_ok_batch(ref: np.ndarray, dec: np.ndarray, floor: float = 40.0) -> np.ndarray:
+    """bool[N] — row i == (psnr(ref[i], dec[i]) >= floor). Same mean-of-
+    squares per image (contiguous trailing-axis reduction)."""
+    diff = ref.astype(np.float64) - dec.astype(np.float64)
+    n = diff.shape[0]
+    mse = np.mean(diff.reshape(n, -1) ** 2, axis=1)
+    out = np.empty(n, dtype=bool)
+    inf = mse == 0
+    out[inf] = True
+    nz = ~inf
+    out[nz] = 10.0 * np.log10(255.0 * 255.0 / mse[nz]) >= floor
+    return out
+
+
+def synth_fetch_batch(keys) -> tuple[np.ndarray, np.ndarray]:
+    """(phash int64[N], psnr_ok bool[N]) for a batch of URL keys — the
+    steady-state fetch stage's per-URL work (synthesize → lossy encode →
+    decode → phash → PSNR gate), batch-vectorized."""
+    px = _pixels_batch(keys, 16, 16)
+    # qjpeg step-2 quantization, batched (elementwise twin of
+    # qjpeg_encode's hot path) ...
+    q = (px & np.uint8(0xFE)) | np.uint8(1)
+    # ... but the codec round-trip itself stays real and per-payload:
+    # every image's bytes go through header pack + zlib deflate/inflate,
+    # exactly as qjpeg_encode/qjpeg_decode do.
+    header = _QJPEG_MAGIC + struct.pack(">HHB", 16, 16, 2)
+    dec = np.empty_like(q)
+    flat = dec.reshape(len(keys), -1)
+    for i in range(len(keys)):
+        data = header + zlib.compress(q[i].tobytes(), 6)
+        assert data[:4] == _QJPEG_MAGIC
+        flat[i] = np.frombuffer(zlib.decompress(data[9:]), np.uint8)
+    return phash64_batch(dec), psnr_ok_batch(px, dec)

@@ -514,11 +514,19 @@ def duplicate_spans(
             )
         ).alias("h"),
     )
+    # two-phase instead of count_distinct in one agg: a single-pass
+    # distinct aggregate plans an Expand that DOUBLES every span row
+    # into the exchange (one copy for the distinct stream, one for the
+    # plain aggs — r7 plan audit). Aggregating per (h, doc) first, then
+    # per h, shuffles each span exactly once and the second exchange
+    # carries only the deduped (h, doc) pairs. Integer-exact, so
+    # results are identical.
+    per_doc = shingled.groupBy("h", id_col).agg(F.count("*").alias("_c"))
     return (
-        shingled.groupBy("h")
+        per_doc.groupBy("h")
         .agg(
-            F.count_distinct(F.col(id_col)).alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+            F.sum("_c").alias("n_occurrences"),
             F.min(id_col).alias("first_doc"),
             F.max(id_col).alias("last_doc"),
         )

@@ -46,6 +46,12 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # guide §3.1: let the planner pick shuffled-hash over sort-merge
+        # when one side builds a per-partition hash map — skips both
+        # sort passes on the fact⋈fact joins (orders⋈lineitem). Safe
+        # here and on the target cluster profile (build side is bounded
+        # by advisory partition size; AQE skew split still applies).
+        "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",

@@ -51,23 +51,20 @@ FETCH_SCHEMA = "node string, phash long, psnr_ok boolean"
 def fetch_kernel(batches):
     """Per-URL fetch work: synthesize reference pixels from the URL id,
     lossy-encode, decode, perceptual-hash, PSNR-check (the engine's real
-    payload path, functions/payload.py)."""
+    payload path, functions/payload.py). Batch-vectorized since r7
+    (guide §4.2): functions/fetchbatch.py runs the same per-URL pipeline
+    over whole Arrow batches — identical phash/psnr_ok values, pinned
+    bit-for-bit against the scalar path by tests/test_fetchbatch.py."""
     import pandas as pd
 
-    from blockchainspider_spark.fixtures.generators import _pixels_for
-    from blockchainspider_spark.functions.imagecodec import (
-        phash64, psnr, qjpeg_decode, qjpeg_encode,
-    )
+    from blockchainspider_spark.functions.fetchbatch import synth_fetch_batch
 
     for pdf in batches:
-        out = {"node": [], "phash": [], "psnr_ok": []}
-        for node in pdf["node"]:
-            px = _pixels_for(node, 16, 16)
-            decoded = qjpeg_decode(qjpeg_encode(px))
-            out["node"].append(node)
-            out["phash"].append(phash64(decoded))
-            out["psnr_ok"].append(bool(psnr(px, decoded) >= 40.0))
-        yield pd.DataFrame(out)
+        if not len(pdf):
+            continue
+        ph, ok = synth_fetch_batch(pdf["node"].tolist())
+        yield pd.DataFrame({"node": pdf["node"].to_numpy(),
+                            "phash": ph, "psnr_ok": ok})
 
 
 def run_level(ncpus: int) -> dict:
