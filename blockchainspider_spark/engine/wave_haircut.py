@@ -227,8 +227,12 @@ class HaircutWaveEngine:
             # push: broadcast the ≤k popped rows (with their A1 out-sums
             # attached) into the out-edge view — A2 proportional scatter
             # as delta rows; one _outs probe, no per-wave window
+            # IN-filter before the probe join: _outs is cached sorted by
+            # `from` within partitions (the rank window's sort), so the
+            # in-memory scan prunes whole batches via min/max stats
+            # instead of scanning every cached row (r7)
             deltas = (
-                self._outs.join(
+                self._outs.where(F.col("from").isin(pop_nodes)).join(
                     F.broadcast(popped.where(F.col("outsum") > 0.0).select(
                         F.col("node").alias("from"),
                         F.col("seq").alias("_pseq"),

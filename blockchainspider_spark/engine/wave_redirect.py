@@ -371,11 +371,23 @@ class TtrRedirectWaveEngine:
         )
         # endpoint-exploded touch view: each edge once per DISTINCT
         # endpoint (a self-loop appears once, like the sequential
-        # engine's OR-filtered batch); bucket by `node` at cluster scale
-        self._touch = adapted.select(
-            F.explode(F.array_distinct(F.array("from", "to"))).alias("node"),
-            "id", "hash", "from", "to", "value", "ts", "symbol", "_bn",
-        ).persist()
+        # engine's OR-filtered batch); bucket by `node` at cluster scale.
+        # CLUSTERED on `node` before caching (r7): every wave's push
+        # probes this view for the ≤k popped nodes' edges, and with the
+        # cache range-clustered the IN-filter below prunes whole cached
+        # batches via their min/max stats instead of scanning all rows
+        # (the in-memory analog of the bucketed-table layout the
+        # docstring prescribes for clusters).
+        self._touch = (
+            adapted.select(
+                F.explode(F.array_distinct(F.array("from", "to"))).alias("node"),
+                "id", "hash", "from", "to", "value", "ts", "symbol", "_bn",
+            )
+            .repartitionByRange(
+                int(spark.conf.get("spark.sql.shuffle.partitions")), "node")
+            .sortWithinPartitions("node")
+            .persist()
+        )
         # the hub-degree census is an engine INDEX (one scan, like the
         # touch view itself) — build it at construction, not lazily in
         # the middle of the first push wave (r7: it was a full-touch
@@ -406,16 +418,20 @@ class TtrRedirectWaveEngine:
             durable_dir=self._ckpt.pop_log_dir() if self._ckpt else None,
         )
 
-    def _hub_netted(self, hub_key: DataFrame) -> DataFrame:
+    def _hub_netted(self, hub_key: DataFrame,
+                    hub_nodes: list | None = None) -> DataFrame:
         """Stage A of the hub push: broadcast the (≤k)-row hub pop set
         against the touch view, bucket by hash, and net each (node,
         bucket) slice in one grouped Arrow kernel. Factored out so
         tools/explain_audit.py can pin the physical shape (broadcast
         probe join + FlatMapGroupsInPandas, raw edges shuffled exactly
-        once on the bucket key)."""
+        once on the bucket key). ``hub_nodes`` (when known) adds the
+        IN-filter that lets the clustered cache prune batches."""
+        touch = (self._touch.where(F.col("node").isin(hub_nodes))
+                 if hub_nodes else self._touch)
         return (
-            self._touch.join(F.broadcast(hub_key.select("node", "_pseq")),
-                             on="node", how="inner")
+            touch.join(F.broadcast(hub_key.select("node", "_pseq")),
+                       on="node", how="inner")
             .select(
                 F.col("node").alias("_node"), "_pseq",
                 "id", "hash", "from", "to", "value",
@@ -611,11 +627,16 @@ class TtrRedirectWaveEngine:
                 pop_hub = [n for n in pop_nodes if n in hubs] if hubs else []
                 parts = []
                 if len(pop_hub) < n_pops:
+                    norm_nodes = [n for n in pop_nodes if n not in pop_hub]
                     norm_key = (pop_key.where(~F.col("node").isin(pop_hub))
                                 if pop_hub else pop_key)
+                    # IN-filter before the probe join: the clustered
+                    # cache skips every batch whose node range misses
+                    # the ≤k pops (r7 — was a full touch scan per wave)
                     edges_part = (
-                        self._touch.join(F.broadcast(norm_key.select("node", "_pseq")),
-                                         on="node", how="inner")
+                        self._touch.where(F.col("node").isin(norm_nodes))
+                        .join(F.broadcast(norm_key.select("node", "_pseq")),
+                              on="node", how="inner")
                         .select(
                             F.col("node").alias("_node"), "_pseq",
                             F.lit("e").alias("_kind"),
@@ -646,7 +667,7 @@ class TtrRedirectWaveEngine:
                     )
                 if pop_hub:
                     hub_key = pop_key.where(F.col("node").isin(pop_hub))
-                    netted = self._hub_netted(hub_key)
+                    netted = self._hub_netted(hub_key, hub_nodes=pop_hub)
                     net_in = netted.select(
                         "_node", "_pseq", F.lit("n").alias("_kind"),
                         "symbol", "ts",

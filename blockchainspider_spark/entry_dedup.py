@@ -479,7 +479,7 @@ def q_t1_token_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     per_doc = d.select(
         "lang",
-        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("ws_tokens"),
+        F.size(F.array_remove(F.split("text", " "), "")).alias("ws_tokens"),
         F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("word_tokens"),
         F.length("text").alias("chars"),
     )
@@ -508,7 +508,7 @@ def q_t2_quality_score(spark, sf_dir):
     """Quality scoring: stopword ratio + mean token length + length band
     → composite score (deterministic formula, both engines)."""
     d = _docs(spark, sf_dir)
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    toks = F.array_remove(F.split("text", " "), "")
     stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "row", "data", "value")))
     n = F.size(toks)
     # +1e-9 nudge before rounding: the score grid contains exact
@@ -690,7 +690,7 @@ def q_t8_decontaminate(spark, sf_dir):
     docs (plus any natural 8-gram sharers in the small-vocab corpus)
     must be flagged with their distinct-gram and position-hit counts."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    toks = F.array_remove(F.split(F.col("text"), " "), "")
     bench = d.where(F.col("doc_id") % 37 == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text"),

@@ -40,7 +40,7 @@ def path_segments(url_col: Column) -> Column:
     path = F.regexp_replace(
         F.regexp_replace(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
         r"[?#].*$", "")
-    return F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    return F.array_remove(F.split(path, "/"), "")
 
 
 def max_consecutive_run(segs: Column) -> Column:

@@ -503,27 +503,38 @@ def duplicate_spans(
     """
     toks = docs.select(
         id_col,
-        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("t"),
+        F.array_remove(F.split(F.col(text_col), " "), "").alias("t"),
     ).where(F.size("t") >= k)
-    shingled = toks.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - k),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))),
-            )
-        ).alias("h"),
+    # explode the window START POSITIONS, then slice+hash as top-level
+    # expressions: an md5 inside a ``transform`` lambda runs on the
+    # interpreted higher-order-function path (no codegen) and measured
+    # 7x slower than the identical expression applied after the explode
+    # (r7, guide §1/§4 — same spans, same hashes). The group key is the
+    # RAW 16-byte digest (unhex), not the 32-char hex string — half the
+    # shuffle bytes and cheaper key hashing/comparison; the surviving
+    # rows reconstruct the identical lowercase-hex ``h``.
+    shingled = (
+        toks.select(id_col, "t",
+                    F.explode(F.sequence(F.lit(1), F.size("t") - (k - 1))).alias("_i"))
+        .select(
+            id_col,
+            F.unhex(F.md5(F.concat_ws(" ", F.slice("t", F.col("_i"), k)))).alias("_hb"),
+        )
     )
-    # two-phase instead of count_distinct in one agg: a single-pass
-    # distinct aggregate plans an Expand that DOUBLES every span row
-    # into the exchange (one copy for the distinct stream, one for the
-    # plain aggs — r7 plan audit). Aggregating per (h, doc) first, then
-    # per h, shuffles each span exactly once and the second exchange
-    # carries only the deduped (h, doc) pairs. Integer-exact, so
-    # results are identical.
-    per_doc = shingled.groupBy("h", id_col).agg(F.count("*").alias("_c"))
+    # span hashes are nearly all unique, so map-side partial aggregation
+    # builds a multi-million-entry hash map for almost no reduction.
+    # Repartition on the digest FIRST (one exchange, no pre-agg pass),
+    # then both aggregations run co-partitioned with no further
+    # exchange: per-(h, doc) occurrence counts, then per-h doc counts
+    # (the two-phase form of count_distinct, whose single-agg plan
+    # would Expand-double every span row). Measured 4x over the naive
+    # groupBy at sf1.0; integer-exact, identical rows (r7).
+    per_doc = (
+        shingled.repartition(F.col("_hb"))
+        .groupBy("_hb", id_col).agg(F.count("*").alias("_c"))
+    )
     return (
-        per_doc.groupBy("h")
+        per_doc.groupBy("_hb")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("_c").alias("n_occurrences"),
@@ -531,6 +542,10 @@ def duplicate_spans(
             F.max(id_col).alias("last_doc"),
         )
         .where(F.col("n_docs") > 1)
+        .select(
+            F.lower(F.hex("_hb")).alias("h"),
+            "n_docs", "n_occurrences", "first_doc", "last_doc",
+        )
     )
 
 
@@ -752,7 +767,7 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     per-doc max/sum is a second keys-only agg on doc alone.  No window
     over the whole corpus, nothing driver-side.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = F.array_remove(F.split(F.col(text_col), " "), "")
     base = df.select(
         F.col(id_col).alias("doc"),
         toks.alias("toks"),
@@ -872,7 +887,7 @@ def decontaminate(
     def shingle(df, idc, tc):
         toks = df.select(
             F.col(idc).alias("_sid"),
-            F.filter(F.split(F.col(tc), " "), lambda t: t != "").alias("t"),
+            F.array_remove(F.split(F.col(tc), " "), "").alias("t"),
         ).where(F.size("t") >= n)
         return toks.select(
             "_sid",
@@ -1000,10 +1015,13 @@ def lm_quality_score(
     corpus scale) and folds per doc with one keys-only agg. The
     corpus's token stream itself never shuffles.
     """
+    # explode then filter: a lambda inside F.filter runs interpreted
+    # per element (no codegen) — the post-explode predicate is the same
+    # token stream at half the tokenize cost (r7, same fix as d7)
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("tok"),
-    )
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
     if vocab_df is None:
         # persist the (small, vocab-sized) count table: its lineage is a
         # full-corpus scan+shuffle, and it feeds BOTH the scalar
@@ -1060,7 +1078,7 @@ def pack_sequences(
     n_tokens) pairs, never text). One hash-partition exchange of
     8-byte-a-row data; the text column is dropped before the shuffle.
     """
-    n_toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    n_toks = F.size(F.array_remove(F.split(F.col(text_col), " "), ""))
     base = docs.select(
         F.col(id_col),
         F.pmod(hash60(F.col(id_col).cast("string"), seed="shard"), F.lit(n_shards))

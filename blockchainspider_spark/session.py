@@ -53,7 +53,12 @@ def get_spark(
         # by advisory partition size; AQE skew split still applies).
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # local-mode driver == executor JVM: size the heap to the host
+        # (128 GiB sandbox / driver contract) so the persisted engine
+        # indexes (touch/out-edge views) don't evict into GC storms at
+        # sf≥1 — measured 1.5-4x wave-time inflation at 8g (r7).
+        # Clusters override via env or extra_conf as before.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "spark.ui.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
     }

@@ -54,17 +54,22 @@ def fetch_kernel(batches):
     payload path, functions/payload.py). Batch-vectorized since r7
     (guide §4.2): functions/fetchbatch.py runs the same per-URL pipeline
     over whole Arrow batches — identical phash/psnr_ok values, pinned
-    bit-for-bit against the scalar path by tests/test_fetchbatch.py."""
-    import pandas as pd
+    bit-for-bit against the scalar path by tests/test_fetchbatch.py.
+    Arrow-native (mapInArrow): the node column is the only input and the
+    pandas round-trip would be pure conversion overhead."""
+    import pyarrow as pa
 
     from blockchainspider_spark.functions.fetchbatch import synth_fetch_batch
 
-    for pdf in batches:
-        if not len(pdf):
+    for rb in batches:
+        if not rb.num_rows:
             continue
-        ph, ok = synth_fetch_batch(pdf["node"].tolist())
-        yield pd.DataFrame({"node": pdf["node"].to_numpy(),
-                            "phash": ph, "psnr_ok": ok})
+        nodes = rb.column(rb.schema.get_field_index("node"))
+        ph, ok = synth_fetch_batch(nodes.to_pylist())
+        yield pa.RecordBatch.from_arrays(
+            [nodes, pa.array(ph), pa.array(ok)],
+            names=["node", "phash", "psnr_ok"],
+        )
 
 
 def run_level(ncpus: int) -> dict:
@@ -93,7 +98,7 @@ def run_level(ncpus: int) -> dict:
     # inside the timed window on every other slot)
     spark.range(ncpus * 64).repartition(ncpus).select(
         F.concat(F.lit("w"), F.col("id")).alias("node")
-    ).mapInPandas(fetch_kernel, FETCH_SCHEMA).count()
+    ).mapInArrow(fetch_kernel, FETCH_SCHEMA).count()
 
     t0 = time.monotonic()
     fresh = urls.join(seen, on="fingerprint", how="left_anti")
@@ -107,7 +112,7 @@ def run_level(ncpus: int) -> dict:
         .select(F.col("k.node").alias("node"))
         .repartition(ncpus, "node")
     )
-    n = sched.mapInPandas(fetch_kernel, FETCH_SCHEMA).count()
+    n = sched.mapInArrow(fetch_kernel, FETCH_SCHEMA).count()
     wall = time.monotonic() - t0
     spark.stop()
     return {
