@@ -10,16 +10,23 @@ resident and advances ``k`` pops per Spark wave:
 
 * **top-k pop** — ``orderBy(weight desc, first-touch key asc).limit(k)``
   compiles to TakeOrderedAndProject: a distributed per-partition top-k
-  + driver-side merge of k rows, never a global sort. The first-touch
+  + driver-side merge of k rows, never a global sort. The merged ≤k
+  rows are collected (O(k) driver state — TakeOrdered materializes
+  them driver-side regardless) and re-shipped as a LocalRelation, so
+  seq assignment is order-of-collect and every downstream probe
+  broadcasts the pop set with no extra jobs (r7). The first-touch
   key ``(wave, parent_seq, edge_rank)`` reproduces the reference's
   insertion-order tiebreak (the sequential engine's _OrderedFloatState
   iterates first-inserted-first).
-* **push** — one equi-join of the popped rows (broadcast) against the
-  out-edge view (A1 out-sum as a per-parent window, A2 proportional
-  scatter), then ONE groupBy merging scatter deltas into the state:
-  base rows carry weight (zeroed for pops) + first-touch key + visited;
-  delta rows carry contributions; ``sum(weight), min(fk), max(visited)``
-  folds both. One shuffle per wave, map-side partial aggregation.
+* **push** — one equi-join of the popped rows (broadcast, with their
+  A1 out-sums attached from the build-once ``_out_totals`` node index)
+  against the out-edge view (A2 proportional scatter), then ONE groupBy
+  merging scatter deltas into the state: base rows carry weight (zeroed
+  for pops via an IN-predicate) + first-touch key + visited; delta rows
+  carry contributions; ``sum(weight), min(fk), max(visited)`` folds
+  both. One shuffle per wave, map-side partial aggregation; the probe
+  carries an IN-filter so the cached out-edge view (sorted by ``from``
+  within partitions) prunes whole batches via min/max stats (r7).
 * **state hygiene** — node_state is ``localCheckpoint(eager=True)``-ed
   per wave: bounded plan depth on long crawls and no silent recompute
   of a nondeterministic lineage. Pops append to the log straight from

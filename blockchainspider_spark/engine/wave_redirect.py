@@ -25,14 +25,19 @@ Division of labor, per SURVEY §2.5:
 
 Scale shape: per wave, the only non-broadcast exchanges are the chip
 merge groupBy and the applyInPandas grouping over ≤k popped nodes;
-edges are probed via a broadcast of the (≤k)-row pop set against the
-persisted endpoint-exploded touch view (bucket it by ``node`` on a real
-cluster). State is localCheckpoint'ed per wave; ``checkpoint_dir``
-(durable parquet snapshots + ``resume``) mirrors the other engines.
+edges are probed via an IN-filtered broadcast join of the (≤k)-row pop
+set against the endpoint-exploded touch view, which is materialized
+ONCE as parquet range-clustered + sorted on ``node`` (r7) so the probe
+filter pushes into the scan and row-group stats skip everything but the
+popped nodes' edges — the node-bucketed table layout of a real cluster,
+without pinning a multi-GB view in executor storage. State is
+localCheckpoint'ed per wave; ``checkpoint_dir`` (durable parquet
+snapshots + ``resume``) mirrors the other engines.
 """
 
 from __future__ import annotations
 
+import os
 import tempfile
 from dataclasses import dataclass, field
 
@@ -371,23 +376,25 @@ class TtrRedirectWaveEngine:
         )
         # endpoint-exploded touch view: each edge once per DISTINCT
         # endpoint (a self-loop appears once, like the sequential
-        # engine's OR-filtered batch); bucket by `node` at cluster scale.
-        # CLUSTERED on `node` before caching (r7): every wave's push
-        # probes this view for the ≤k popped nodes' edges, and with the
-        # cache range-clustered the IN-filter below prunes whole cached
-        # batches via their min/max stats instead of scanning all rows
-        # (the in-memory analog of the bucketed-table layout the
-        # docstring prescribes for clusters).
-        self._touch = (
-            adapted.select(
-                F.explode(F.array_distinct(F.array("from", "to"))).alias("node"),
-                "id", "hash", "from", "to", "value", "ts", "symbol", "_bn",
-            )
-            .repartitionByRange(
-                int(spark.conf.get("spark.sql.shuffle.partitions")), "node")
-            .sortWithinPartitions("node")
-            .persist()
+        # engine's OR-filtered batch). Materialized ONCE as parquet
+        # range-clustered + sorted on `node` (r7): every wave's push
+        # probes this view for the ≤k popped nodes' edges, and the
+        # IN-filter pushes into the scan where the sorted layout's
+        # row-group min/max stats skip everything else — the same
+        # node-bucketed table layout the engine prescribes at cluster
+        # scale, without pinning a multi-GB view in executor storage
+        # memory (the cached form evicted into GC storms at sf≥1).
+        touch_cols = adapted.select(
+            F.explode(F.array_distinct(F.array("from", "to"))).alias("node"),
+            "id", "hash", "from", "to", "value", "ts", "symbol", "_bn",
         )
+        touch_path = os.path.join(self._work_dir, "touch_idx")
+        (touch_cols
+         .repartitionByRange(
+             int(spark.conf.get("spark.sql.shuffle.partitions")), "node")
+         .sortWithinPartitions("node")
+         .write.mode("overwrite").parquet(touch_path))
+        self._touch = spark.read.parquet(touch_path)
         # the hub-degree census is an engine INDEX (one scan, like the
         # touch view itself) — build it at construction, not lazily in
         # the middle of the first push wave (r7: it was a full-touch

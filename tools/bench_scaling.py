@@ -99,6 +99,23 @@ def run_level(ncpus: int) -> dict:
     spark.range(ncpus * 64).repartition(ncpus).select(
         F.concat(F.lit("w"), F.col("id")).alias("node")
     ).mapInArrow(fetch_kernel, FETCH_SCHEMA).count()
+    # warm the stage's whole-stage-codegen too (same dataflow over a
+    # 2k-row replica → identical generated classes, so the timed run
+    # measures the engine, not JIT compilation): the same cold-vs-warm
+    # protocol bench.py documents for the fixed operator queries, where
+    # first-run codegen measured 1.5-2.5 s — a parallelism-INDEPENDENT
+    # constant that distorts the N-vs-4N ratio (r7).
+    w_urls = spark.range(2048).select(
+        F.concat(F.lit("u"), F.col("id")).alias("node"),
+        F.col("id").alias("seq"),
+    ).withColumn("fingerprint", F.sha1(F.col("node")))
+    w_seen = spark.range(2048).select(
+        F.sha1(F.concat(F.lit("seen"), F.col("id"))).alias("fingerprint")
+    )
+    (w_urls.join(w_seen, on="fingerprint", how="left_anti")
+     .groupBy("fingerprint").agg(F.min(F.struct("seq", "node")).alias("k"))
+     .select(F.col("k.node").alias("node")).repartition(ncpus, "node")
+     .mapInArrow(fetch_kernel, FETCH_SCHEMA).count())
 
     t0 = time.monotonic()
     fresh = urls.join(seen, on="fingerprint", how="left_anti")
