@@ -59,7 +59,7 @@ from blockchainspider_spark.operators.transfers import with_symbol_identity
 
 NODE_STATE_SCHEMA = (
     "node string, weight double, fk struct<wave:long,pseq:long,erank:long>, "
-    "visited boolean"
+    "visited boolean, outsum double"
 )
 
 
@@ -115,19 +115,36 @@ class HaircutWaveEngine:
             F.col("id"),
         )
         rank_w = Window.partitionBy("from").orderBy("_bn", "_ts", "id")
-        self._outs = (
-            adapted.withColumn("erank", F.row_number().over(rank_w).cast("long"))
-            .drop("_bn", "_ts", "id")
-            .persist()
-        )
-        # per-node out-sum index (A1), computed once and persisted: every
-        # wave's push used to recompute it twice — a window over the
-        # joined slice for the scatter denominators plus a separate
-        # groupBy scan of the whole out-edge view for the zeroing set
-        # (two full _outs probes per wave). One node-level table serves
-        # both, probed with the ≤k-row pop set (r7, guide §2.4).
+        ranked = adapted.withColumn(
+            "erank", F.row_number().over(rank_w).cast("long")
+        ).drop("_bn", "_ts", "id")
+        # per-node out-sum index (A1), computed once: every wave's push
+        # used to recompute it twice — a window over the joined slice
+        # for the scatter denominators plus a separate groupBy scan of
+        # the whole out-edge view for the zeroing set (r7, guide §2.4).
         self._out_totals = (
-            self._outs.groupBy("from").agg(F.sum("value").alias("outsum")).persist()
+            ranked.groupBy("from").agg(F.sum("value").alias("outsum")).persist()
+        )
+        # r7b: the out-edge view additionally carries the TARGET node's
+        # out-sum (`to_outsum`, one build-time join) so scatter deltas
+        # deliver each new state row's A1 denominator with them — the
+        # node state then holds every popped node's out-sum and the
+        # per-wave `_out_totals` probe job disappears entirely (the pop
+        # collect returns it from state; guide §2.4, one less job/wave).
+        # broadcast: keeps the streamed side's `from`-clustered layout
+        # (the rank window's sort) intact so the per-wave IN-filter probe
+        # still prunes cached batches via min/max stats; a shuffled join
+        # would re-cluster by `to`. At cluster scale the equivalent is a
+        # node-bucketed totals table co-located with the edge buckets.
+        self._outs = (
+            ranked.join(
+                F.broadcast(self._out_totals.select(
+                    F.col("from").alias("to"), F.col("outsum").alias("to_outsum")
+                )),
+                on="to", how="left",
+            )
+            .select("from", "to", "value", "erank", "to_outsum")
+            .persist()
         )
 
     POP_LOG_SCHEMA = "seq long, node string, weight double, wave long"
@@ -139,8 +156,14 @@ class HaircutWaveEngine:
         )
 
     def run(self, source: str, max_pops: int | None = None) -> HaircutWaveState:
+        # the seed's A1 out-sum is the one state row no delta can deliver
+        # (deltas carry their target's out-sum; the seed is never a
+        # target before it pops) — one bounded index lookup at crawl
+        # start replaces the per-wave totals-probe job (r7b)
+        src_row = self._out_totals.where(F.col("from") == source).collect()
+        src_outsum = src_row[0]["outsum"] if src_row else None
         state_df = self.spark.createDataFrame(
-            [(source, 1.0, (0, -1, -1), False)], NODE_STATE_SCHEMA
+            [(source, 1.0, (0, -1, -1), False, src_outsum)], NODE_STATE_SCHEMA
         ).localCheckpoint(eager=True)
         plog = self._pop_log()
         st = HaircutWaveState(
@@ -202,24 +225,20 @@ class HaircutWaveEngine:
             # replaces a localCheckpoint job + a count job + a window).
             pop_rows = (
                 eligible.orderBy(*pop_order).limit(budget)
-                .select("node", "weight", "fk").collect()
+                .select("node", "weight", "fk", "outsum").collect()
             )
             n_pops = len(pop_rows)
             if n_pops == 0:
                 break
-            # attach the A1 out-sum per popped node from the persisted
-            # node-level index — one ≤k-row probe per wave instead of a
-            # full _outs window plus a full _outs groupBy (r7)
+            # the A1 out-sum arrives WITH the pop rows: state rows carry
+            # it from their creating delta (r7b) — the separate per-wave
+            # `_out_totals` probe job is gone
             pop_nodes = [r["node"] for r in pop_rows]
-            totals = {
-                r["from"]: r["outsum"]
-                for r in self._out_totals.where(
-                    F.col("from").isin(pop_nodes)).collect()
-            }
+            totals = {r["node"]: r["outsum"] for r in pop_rows}
             popped = spark.createDataFrame(
                 [
                     (r["node"], r["weight"], tuple(r["fk"]),
-                     st.next_seq + i, totals.get(r["node"]))
+                     st.next_seq + i, r["outsum"])
                     for i, r in enumerate(pop_rows)
                 ],
                 self.POPPED_SCHEMA,
@@ -257,6 +276,10 @@ class HaircutWaveEngine:
                         F.col("erank").alias("erank"),
                     ).alias("fk"),
                     F.lit(False).alias("visited"),
+                    # deliver the target's A1 out-sum with the delta so
+                    # the state row that makes it poppable already holds
+                    # its scatter denominator (r7b)
+                    F.col("to_outsum").alias("outsum"),
                 )
             )
             # merge: zero the weight of popped rows THAT SCATTERED (the
@@ -276,6 +299,7 @@ class HaircutWaveEngine:
                 F.when(zeroed, 0.0).otherwise(F.col("weight")).alias("weight"),
                 "fk",
                 (F.col("visited") | F.col("node").isin(pop_nodes)).alias("visited"),
+                "outsum",
             )
             new_state = (
                 base.unionByName(deltas)
@@ -284,6 +308,8 @@ class HaircutWaveEngine:
                     F.sum("weight").alias("weight"),
                     F.min("fk").alias("fk"),
                     F.max("visited").alias("visited"),
+                    # constant per node wherever non-null (max = that value)
+                    F.max("outsum").alias("outsum"),
                 )
                 .localCheckpoint(eager=True)
             )

@@ -53,9 +53,16 @@ from blockchainspider_spark.engine.wave_common import (
 from blockchainspider_spark.operators.transfers import with_symbol_identity
 
 REDIRECT_CHIPS_SCHEMA = "node string, symbol string, ts long, val double"
+# r7b: meta additionally carries ``r`` — the node's current chip sum
+# (the pop rank). Folding r into the per-wave meta aggregation makes the
+# pop a TakeOrderedAndProject over the materialized state: the per-wave
+# full-chips groupBy + meta join job is gone (guide §2.4).
 REDIRECT_META_SCHEMA = (
-    "node string, p double, fk struct<wave:long,pseq:long,slot:long>"
+    "node string, p double, fk struct<wave:long,pseq:long,slot:long>, r double"
 )
+# fused per-wave fold row: chips rows (_tag 'c') and meta rows (_tag 'm')
+# materialize in ONE localCheckpoint job instead of two
+_FOLD_SCHEMA_COLS = ("_tag", "node", "symbol", "ts", "val", "p", "fk", "r")
 _PUSH_OUT_SCHEMA = "node string, symbol string, ts long, val double, pseq long, slot long"
 # stage-A output of the hub path: one row per surviving netted swap leg.
 # (cbn, cts, cid) is the (block, ts, id) triple of the edge that last
@@ -458,7 +465,10 @@ class TtrRedirectWaveEngine:
         (out_sum==0 → ts=0 out-coeff chip, elif in_sum==0 → ts=maxint
         in-coeff chip). Returns (chip rows with first-touch slots,
         n_symbols) — p[source] becomes α·n_symbols."""
-        t = self._touch.where(F.col("node") == source)
+        # one bounded parquet probe, cached: sums, the chip join, and the
+        # slot assignment all read the seed's edge slice — without the
+        # persist each consumer re-scans the touch index (r7b)
+        t = self._touch.where(F.col("node") == source).persist()
         is_in = F.col("to") == source
         is_out = (F.col("from") == source) & (~is_in)
         sums = t.groupBy("symbol").agg(
@@ -526,7 +536,9 @@ class TtrRedirectWaveEngine:
             # scaffold unit chip so wave 1 pops the source (consumed at seed)
             chips=spark.createDataFrame([(source, "", 0, 1.0)], REDIRECT_CHIPS_SCHEMA)
             .localCheckpoint(eager=True),
-            meta=spark.createDataFrame([(source, 0.0, (0, -1, -1))], REDIRECT_META_SCHEMA)
+            # r mirrors the scaffold chip's sum so the seed is poppable
+            meta=spark.createDataFrame([(source, 0.0, (0, -1, -1), 1.0)],
+                                       REDIRECT_META_SCHEMA)
             .localCheckpoint(eager=True),
             pop_log_df=plog.df,
             next_seq=0,
@@ -566,11 +578,12 @@ class TtrRedirectWaveEngine:
                 budget = min(budget, max_pops - st.next_seq)
             if budget <= 0:
                 break
-            sums = st.chips.groupBy("node").agg(F.sum("val").alias("r"))
-            eligible = (
-                sums.where(F.col("r") > self.epsilon)
-                .join(st.meta.select("node", "fk"), on="node", how="inner")
-            )
+            # r7b: the pop rank r is state-resident (folded into meta by
+            # the previous wave's single fold job), so eligibility is a
+            # filter over the materialized state and the pop compiles to
+            # TakeOrderedAndProject — the per-wave full-chips groupBy +
+            # meta join job is gone (guide §2.4)
+            eligible = st.meta.where(F.col("r") > self.epsilon)
             ensure_wave_aligned(eligible, budget, self.k, wave, max_pops)
             # top-k pop via driver collect (≤k rows — TakeOrdered merges
             # them on the driver anyway; same O(k) posture as the old
@@ -599,23 +612,26 @@ class TtrRedirectWaveEngine:
             if not seeded:
                 seeded = True
                 seed_rows, n_symbols = self._seed_chips(source, wave)
-                new_chips = (
-                    seed_rows.groupBy("node", "symbol", "ts")
-                    .agg(F.sum("val").alias("val"))      # A10 as a DataFrame agg
-                    .localCheckpoint(eager=True)
-                )
-                fk_new = seed_rows.groupBy("node").agg(
-                    F.min(F.struct(
+                chip_inputs = seed_rows.select("node", "symbol", "ts", "val")
+                # meta-branch rows from the same seed rows: each carries
+                # its first-touch struct AND its chip value as r, so one
+                # groupBy(node) yields min(fk) == the old fk_new AND
+                # sum(r) == the node's fresh chip sum (r7b)
+                chip_meta_rows = seed_rows.select(
+                    "node", F.lit(0.0).alias("p"),
+                    F.struct(
                         F.lit(wave).cast("long").alias("wave"),
                         F.lit(0).cast("long").alias("pseq"),
                         F.col("slot").alias("slot"),
-                    )).alias("fk")
+                    ).alias("fk"),
+                    F.col("val").alias("r"),
                 )
                 base_meta = st.meta.select(
                     "node",
                     F.when(F.col("node") == source,
                            F.lit(self.alpha * n_symbols)).otherwise(F.col("p")).alias("p"),
                     "fk",
+                    F.lit(0.0).alias("r"),
                 )
             else:
                 pop_key = popped.select("node", F.col("seq").alias("_pseq"),
@@ -709,20 +725,22 @@ class TtrRedirectWaveEngine:
                     pushed = pushed.unionByName(extra)
                 pushed = pushed.localCheckpoint(eager=True)
                 tr.mark("push")
-                new_chips = (
-                    rest.unionByName(pushed.select("node", "symbol", "ts", "val"))
-                    .groupBy("node", "symbol", "ts")
-                    .agg(F.sum("val").alias("val"))      # A10 as a DataFrame agg
-                    .localCheckpoint(eager=True)
-                )
-                tr.mark("chips")
-                fk_new = pushed.groupBy("node").agg(
-                    F.min(F.struct(
+                chip_inputs = rest.unionByName(
+                    pushed.select("node", "symbol", "ts", "val"))
+                chip_meta_rows = pushed.select(
+                    "node", F.lit(0.0).alias("p"),
+                    F.struct(
                         F.lit(wave).cast("long").alias("wave"),
                         F.col("pseq").alias("pseq"),
                         F.col("slot").alias("slot"),
-                    )).alias("fk")
-                )
+                    ).alias("fk"),
+                    F.col("val").alias("r"),
+                ).unionByName(rest.select(
+                    "node", F.lit(0.0).alias("p"),
+                    F.lit(None).cast(
+                        "struct<wave:long,pseq:long,slot:long>").alias("fk"),
+                    F.col("val").alias("r"),
+                ))
                 base_meta = (
                     st.meta.join(F.broadcast(pop_key.select("node", "_r")),
                                  on="node", how="left")
@@ -731,16 +749,46 @@ class TtrRedirectWaveEngine:
                         (F.col("p") + F.coalesce(F.col("_r") * self.alpha,
                                                  F.lit(0.0))).alias("p"),
                         "fk",
+                        F.lit(0.0).alias("r"),
                     )
                 )
-            new_meta = (
-                base_meta.unionByName(
-                    fk_new.select("node", F.lit(0.0).alias("p"), "fk"))
-                .groupBy("node")
-                .agg(F.sum("p").alias("p"), F.min("fk").alias("fk"))
-                .localCheckpoint(eager=True)
+            # fused per-wave fold (r7b, ONE materialization job): branch
+            # 'c' is the A10 chip merge exactly as before; branch 'm'
+            # folds meta in one groupBy — sum(p) (non-base rows carry
+            # 0.0, float-exact), min(fk) (identical to the old fk_new
+            # pre-agg + merge: min of the same structs; null fk on
+            # chip-only rows is ignored by min), and sum(r) = the node's
+            # fresh chip sum, which next wave's pop reads directly.
+            fk_t = "struct<wave:long,pseq:long,slot:long>"
+            fold_c = (
+                chip_inputs.groupBy("node", "symbol", "ts")
+                .agg(F.sum("val").alias("val"))          # A10 as a DataFrame agg
+                .select(
+                    F.lit("c").alias("_tag"), "node", "symbol", "ts", "val",
+                    F.lit(None).cast("double").alias("p"),
+                    F.lit(None).cast(fk_t).alias("fk"),
+                    F.lit(None).cast("double").alias("r"),
+                )
             )
-            tr.mark("meta")
+            fold_m = (
+                base_meta.unionByName(chip_meta_rows)
+                .groupBy("node")
+                .agg(F.sum("p").alias("p"), F.min("fk").alias("fk"),
+                     F.sum("r").alias("r"))
+                .select(
+                    F.lit("m").alias("_tag"), "node",
+                    F.lit(None).cast("string").alias("symbol"),
+                    F.lit(None).cast("long").alias("ts"),
+                    F.lit(None).cast("double").alias("val"),
+                    "p", "fk", "r",
+                )
+            )
+            fold = fold_c.unionByName(fold_m).localCheckpoint(eager=True)
+            new_chips = fold.where(F.col("_tag") == "c").select(
+                "node", "symbol", "ts", "val")
+            new_meta = fold.where(F.col("_tag") == "m").select(
+                "node", "p", "fk", "r")
+            tr.mark("fold")
             tr.done()
             st = TtrRedirectWaveState(
                 wave=wave,

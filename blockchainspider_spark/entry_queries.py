@@ -843,11 +843,19 @@ def q_crawl_bfs_seen(spark, sf_dir):
     touch = edges.selectExpr("stack(2, src, dst) as endpoint", "src", "dst")
     seed = spark.createDataFrame([("c1",)], "node string")
     d0 = seed
+    # emit only the COUNTERPART endpoint of each matched touch row (r7b):
+    # the matched endpoint itself is the probe node, which the final
+    # union-distinct re-adds from its own level anyway (self-loops
+    # degenerate to counterpart == probe node — also already present).
+    # Halves the post-join candidate stream vs stack(2, src, dst); the
+    # visited SET is identical.
+    other = F.when(F.col("endpoint") == F.col("src"),
+                   F.col("dst")).otherwise(F.col("src"))
     # materialize the depth-1 frontier once (persist+count) so the
     # depth-2 broadcast probe and the final union don't recompute it
     d1 = (
         touch.join(F.broadcast(d0), F.col("endpoint") == d0.node)
-        .selectExpr("stack(2, src, dst) as node")
+        .select(other.alias("node"))
         .distinct()
         .join(d0, on="node", how="left_anti")
         .persist()
@@ -860,7 +868,7 @@ def q_crawl_bfs_seen(spark, sf_dir):
     d2_cands = (
         touch.join(F.broadcast(d1.withColumnRenamed("node", "hop")),
                    F.col("endpoint") == F.col("hop"))
-        .selectExpr("stack(2, src, dst) as node")
+        .select(other.alias("node"))
     )
     return d0.union(d1).union(d2_cands).distinct()
 

@@ -37,6 +37,23 @@ def test_synth_fetch_batch_matches_scalar_pipeline():
         assert ok[i] == (psnr(px, dec) >= 40.0), k
 
 
+def test_seed_words_batch_matches_seedsequence():
+    # the vectorized SeedSequence mix must be bit-identical to numpy's,
+    # including the sub-2**32 seeds that take the scalar fallback (their
+    # entropy is one 32-bit word, which changes the mix input length)
+    from blockchainspider_spark.functions.fetchbatch import _seed_words_batch
+
+    rng = np.random.default_rng(11)
+    seeds = np.concatenate([
+        rng.integers(1 << 32, 1 << 63, 64, dtype=np.uint64),
+        np.array([0, 1, 5, (1 << 32) - 1, 1 << 32, (1 << 64) - 1], np.uint64),
+    ])
+    got = _seed_words_batch(seeds)
+    for i, s in enumerate(seeds):
+        ref = np.random.SeedSequence(int(s)).generate_state(4, np.uint64)
+        assert np.array_equal(got[i], ref), s
+
+
 def test_phash_and_psnr_batch_on_odd_sizes():
     # the batched helpers must stay exact off the 16x16 hot path too
     rng = np.random.default_rng(7)
