@@ -311,7 +311,15 @@ class HaircutWaveEngine:
                     # constant per node wherever non-null (max = that value)
                     F.max("outsum").alias("outsum"),
                 )
-                .localCheckpoint(eager=True)
+                # r7c: LAZY local checkpoint — the merge materializes
+                # inside the NEXT wave's pop job (the TakeOrdered scan
+                # reads every partition, so the checkpoint completes and
+                # truncates lineage there), halving the engine's Spark
+                # jobs to ONE per wave. Same storage and loud-failure
+                # semantics as eager=True; measured per-job fixed cost
+                # (~0.3-0.5 s on this host) dominates the tiny stage
+                # work, so job count is what per-wave cost scales with.
+                .localCheckpoint(eager=False)
             )
             tr.mark("merge")
             tr.done()

@@ -361,6 +361,7 @@ class TtrRedirectWaveEngine:
         max_push_edges: int = 1_000_000,
         hub_buckets: int = 64,
         max_walk_legs: int | None = 5_000_000,
+        index_row_group_bytes: int = 4 * 1024 * 1024,
     ):
         self.spark = spark
         self.k = int(k)
@@ -396,11 +397,22 @@ class TtrRedirectWaveEngine:
             "id", "hash", "from", "to", "value", "ts", "symbol", "_bn",
         )
         touch_path = os.path.join(self._work_dir, "touch_idx")
+        # r7c: small row groups on the index write. The default 128 MB
+        # block size left ONE row group per range file, so the per-wave
+        # ≤k-node IN-probe could only prune at file granularity and
+        # still scanned ~half the view (measured: ~12M of 24M rows per
+        # wave at sf1.0). With ~4 MB row groups the same probe reads a
+        # handful of narrow node ranges. Parameterized: a cluster
+        # deployment sizes this with its bucketed-table row-group
+        # policy; probe cost scales with row-group size, build cost is
+        # one-time.
         (touch_cols
          .repartitionByRange(
              int(spark.conf.get("spark.sql.shuffle.partitions")), "node")
          .sortWithinPartitions("node")
-         .write.mode("overwrite").parquet(touch_path))
+         .write.mode("overwrite")
+         .option("parquet.block.size", int(index_row_group_bytes))
+         .parquet(touch_path))
         self._touch = spark.read.parquet(touch_path)
         # the hub-degree census is an engine INDEX (one scan, like the
         # touch view itself) — build it at construction, not lazily in
@@ -723,7 +735,12 @@ class TtrRedirectWaveEngine:
                 pushed = parts[0]
                 for extra in parts[1:]:
                     pushed = pushed.unionByName(extra)
-                pushed = pushed.localCheckpoint(eager=True)
+                # r7c: LAZY checkpoint — the push kernel executes inside
+                # the same job that materializes the fold (the fold's
+                # two branches read it; per-partition computation is
+                # block-manager-synchronized, so the kernel still runs
+                # once). Eliminates one eager job per wave.
+                pushed = pushed.localCheckpoint(eager=False)
                 tr.mark("push")
                 chip_inputs = rest.unionByName(
                     pushed.select("node", "symbol", "ts", "val"))
@@ -783,7 +800,12 @@ class TtrRedirectWaveEngine:
                     "p", "fk", "r",
                 )
             )
-            fold = fold_c.unionByName(fold_m).localCheckpoint(eager=True)
+            # r7c: LAZY checkpoint — materializes (and truncates
+            # lineage) inside the NEXT wave's pop job, whose TakeOrdered
+            # scans every fold partition. One Spark job per wave where
+            # r7b ran three (push ckpt + fold ckpt + pop); per-job fixed
+            # cost dominates the tiny per-wave stage work on this graph.
+            fold = fold_c.unionByName(fold_m).localCheckpoint(eager=False)
             new_chips = fold.where(F.col("_tag") == "c").select(
                 "node", "symbol", "ts", "val")
             new_meta = fold.where(F.col("_tag") == "m").select(

@@ -833,43 +833,53 @@ def _bipartite_edges(spark, sf_dir):
 
 def q_crawl_bfs_seen(spark, sf_dir):
     """BFS depth-2 visited set (undirected ball) from seed c1 — the exact
-    seen-set semantics of the BFS strategy, as level-wise anti-joins."""
-    # cache the 2-column EDGE list and stack lazily per level: the
-    # stacked endpoint view is 2x the rows and 1.5x the columns of the
-    # edges — caching the edges instead halves the cache write + both
-    # level probes' cache reads, and the stack projection re-runs inside
-    # codegen for pennies (r7: 7.5s -> 4.9s at sf1.0)
-    edges = _bipartite_edges(spark, sf_dir).persist()
-    touch = edges.selectExpr("stack(2, src, dst) as endpoint", "src", "dst")
+    seen-set semantics of the BFS strategy, as level-wise anti-joins.
+
+    r7c (guide §8 "use what you know that the optimizer does not"): the
+    edge constructor itself guarantees bipartiteness — every ``src`` is
+    ``'c'||custkey`` and every ``dst`` is ``'p'||partkey`` — so the seed
+    ``'c1'`` can only ever match the ``src`` endpoint (``src='c1'`` ⇔
+    ``o_custkey=1``, a pushed parquet filter) and the depth-1 frontier
+    (all ``p…`` nodes) can only ever match ``dst``. The former
+    materialize-the-6M-row-join + stack + probe-twice shape collapses to
+    two column-pruned lineitem scans with broadcast joins and a distinct
+    over only the true candidate stream. Row set identical: the dropped
+    probe branches (seed vs dst, d1 vs src) match no rows by
+    construction, and the d1 anti-join vs d0 drops nothing because no
+    ``p…`` node equals ``'c1'``."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
     seed = spark.createDataFrame([("c1",)], "node string")
     d0 = seed
-    # emit only the COUNTERPART endpoint of each matched touch row (r7b):
-    # the matched endpoint itself is the probe node, which the final
-    # union-distinct re-adds from its own level anyway (self-loops
-    # degenerate to counterpart == probe node — also already present).
-    # Halves the post-join candidate stream vs stack(2, src, dst); the
-    # visited SET is identical.
-    other = F.when(F.col("endpoint") == F.col("src"),
-                   F.col("dst")).otherwise(F.col("src"))
-    # materialize the depth-1 frontier once (persist+count) so the
-    # depth-2 broadcast probe and the final union don't recompute it
+    # depth-1: parts on customer 1's orders. o_custkey=1 pushes into the
+    # orders scan; the surviving handful of orderkeys broadcast into one
+    # lineitem scan.
+    seed_orders = orders.where(F.col("o_custkey") == 1).select("o_orderkey")
     d1 = (
-        touch.join(F.broadcast(d0), F.col("endpoint") == d0.node)
-        .select(other.alias("node"))
+        li.join(F.broadcast(seed_orders),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(F.concat(F.lit("p"), F.col("l_partkey")).alias("node"))
         .distinct()
-        .join(d0, on="node", how="left_anti")
         .persist()
     )
     d1.count()
-    # the visited set is d0 ∪ d1 ∪ N(d1) as a SET — the final distinct
-    # subsumes the old per-level dedup + anti-joins (r7: one exchange
-    # instead of three over the depth-2 candidate stream; row set is
-    # identical because union-distinct absorbs re-touched nodes)
-    d2_cands = (
-        touch.join(F.broadcast(d1.withColumnRenamed("node", "hop")),
-                   F.col("endpoint") == F.col("hop"))
-        .select(other.alias("node"))
+    # depth-2 candidates: customers of every order that touches a d1
+    # part. The d1 part set broadcasts into the second lineitem scan;
+    # the matched (small) orderkey set broadcasts into the orders scan.
+    d1_parts = d1.select(
+        F.substring("node", 2, 2147483647).cast("long").alias("l_partkey"))
+    hit_orders = (
+        li.join(F.broadcast(d1_parts), on="l_partkey")
+        .select("l_orderkey").distinct()
     )
+    d2_cands = (
+        orders.join(F.broadcast(hit_orders),
+                    orders.o_orderkey == F.col("l_orderkey"))
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("node"))
+    )
+    # the visited set is d0 ∪ d1 ∪ N(d1) as a SET — the final distinct
+    # subsumes the per-level dedup + anti-joins (union-distinct absorbs
+    # re-touched nodes)
     return d0.union(d1).union(d2_cands).distinct()
 
 

@@ -178,28 +178,48 @@ def _pixels_batch(keys, w: int = 16, h: int = 16) -> np.ndarray:
     return base.astype(np.uint8)
 
 
+_D8 = np.ascontiguousarray(_DCT32[:8])   # the 8 DCT rows the hash reads
+
+
 def phash64_batch(pixels: np.ndarray) -> np.ndarray:
     """int64[N] — row i == phash64(pixels[i]). Same gray weights, mesh,
     DCT matrices, 31st-order-statistic median and MSB-first packing.
 
     numpy's broadcasted 3-D matmul takes a slow non-GEMM path for a
     (32,32) @ (N,32,32) stack (measured 110 µs/row), so the two DCT
-    products run as single large 2-D GEMMs over reshaped views — in the
-    scalar path's association order (DCT @ small first, then @ DCT.T),
-    bit-identical per test_fetchbatch."""
+    products run as large 2-D GEMMs over reshaped views — in the scalar
+    path's association order (DCT @ small first, then @ DCT.T),
+    bit-identical per test_fetchbatch. Two r7c refinements, both
+    value-preserving:
+
+    * only the top-left 8×8 of ``freq`` feeds the hash, and every
+      ``freq[:8,:8]`` element depends on DCT rows 0-7 alone — computing
+      with ``_DCT32[:8]`` drops 6.4× of the GEMM flops while each
+      surviving output element remains the exact same k-ordered dot
+      product (row/column subsetting does not reorder accumulation;
+      bit-equality is pinned against the scalar path in
+      tests/test_fetchbatch.py);
+    * the mesh gather lands directly in the TRANSPOSED layout the first
+      GEMM wants (one fancy-index with a transposed index vector),
+      eliminating the 33 MB ``ascontiguousarray(small.T)`` copy that
+      profiled as large as the gather itself."""
     n, h, w, _ = pixels.shape
-    p = pixels.astype(np.float64)
-    gray = (p[..., 0] * _GRAY_W[0] + p[..., 1] * _GRAY_W[1]) + p[..., 2] * _GRAY_W[2]
+    # gray from the uint8 channel slices directly (uint8→float64 widening
+    # per element is exact; same left-to-right expression as the scalar)
+    gray = (
+        pixels[..., 0] * _GRAY_W[0] + pixels[..., 1] * _GRAY_W[1]
+    ) + pixels[..., 2] * _GRAY_W[2]
     ys = (np.arange(32) * h // 32).clip(0, h - 1)
     xs = (np.arange(32) * w // 32).clip(0, w - 1)
     flat_idx = (ys[:, None] * w + xs).ravel()
-    small = gray.reshape(n, h * w)[:, flat_idx].reshape(n, 32, 32)
-    # a = DCT @ small[i]  (via a.T = small[i].T @ DCT.T)
-    a = np.ascontiguousarray(small.transpose(0, 2, 1)).reshape(n * 32, 32) @ _DCT32.T
-    a = a.reshape(n, 32, 32).transpose(0, 2, 1)
-    # freq = a @ DCT.T
-    freq = (np.ascontiguousarray(a).reshape(n * 32, 32) @ _DCT32.T).reshape(n, 32, 32)
-    block = freq[:, :8, :8].reshape(n, 64)[:, 1:]
+    # gather straight into small.T per image: index vector transposed
+    idx_t = flat_idx.reshape(32, 32).T.ravel()
+    small_t = gray.reshape(n, h * w)[:, idx_t]          # (N, 32*32), C-order
+    # a = D8 @ small[i]  (via a.T = small[i].T @ D8.T)
+    a = (small_t.reshape(n * 32, 32) @ _D8.T).reshape(n, 32, 8).transpose(0, 2, 1)
+    # freq[:8,:8] = a @ D8.T
+    freq = (np.ascontiguousarray(a).reshape(n * 8, 32) @ _D8.T).reshape(n, 8, 8)
+    block = freq.reshape(n, 64)[:, 1:]
     med = np.partition(block, 31, axis=1)[:, 31]
     bits = block > med[:, None]
     packed = np.packbits(bits, axis=1)          # (N, 8) MSB-first over 63 bits
