@@ -241,13 +241,14 @@ def psnr_ok_batch(ref: np.ndarray, dec: np.ndarray, floor: float = 40.0) -> np.n
     return out
 
 
-# rows per internal block: the kernel's float64 intermediates for B
-# rows are ~50 KB/row across the pixel/DCT pipeline; at B=64 a block's
-# working set stays L2-resident per core, which under 32-way task
-# parallelism measures ~2.5x faster than whole-batch processing (whose
-# multi-MB temporaries fight over shared L3/DRAM bandwidth) and ~2.5x
-# faster than the row-at-a-time scalar path (numpy call overhead).
-_BLOCK = 64
+# rows per internal block: sized so a block's float64 intermediates stay
+# cache-resident per core under 32-way task parallelism (whole-batch
+# processing loses ~2.5x to shared L3/DRAM contention; row-at-a-time
+# loses ~2.5x to numpy call overhead). Re-tuned for r7c's slimmer phash
+# working set (8-row DCT, no 33 MB transpose copy): a 32-process
+# contention sweep measured 110/106/89/99/98 µs/url at block sizes
+# 32/64/128/256/1024 — 128 wins.
+_BLOCK = 128
 
 
 def synth_fetch_batch(keys) -> tuple[np.ndarray, np.ndarray]:
